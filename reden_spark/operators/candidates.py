@@ -1,0 +1,59 @@
+"""Stage 2 — candidate generation + ambiguity gate.
+
+The workhorse lookup join of the reference
+(DicoProcessingNEL.retrieveMentionsURIsFromDicoWithIndex, DicoProcessingNEL.java:
+144-183): normalized mention = normalized dictionary alias, one candidate group per
+distinct `uris` payload. The Lucene index (:192-339) is replaced by a broadcast
+hash join on `alias_norm` — the dictionary is the small side; at extreme dictionary
+sizes flip to a shuffle join by raising/removing the broadcast hint.
+
+Group ordering is deterministic (sorted by uris array — oracle divergence D1);
+group dedup by full-array equality mirrors DicoProcessingNEL.java:163-175.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_mention
+
+
+def generate_candidates(mentions: DataFrame, dico: DataFrame, broadcast_dico: bool = True) -> DataFrame:
+    """distinct (conv_id, mention) x dico -> CANDIDATES (conv_id, mention, group_idx, uris)."""
+    probe = (
+        mentions.select("conv_id", "mention")
+        .distinct()
+        .withColumn("alias_norm", normalize_mention("mention"))
+    )
+    d = dico.select("alias_norm", "uris").distinct()
+    if broadcast_dico:
+        d = F.broadcast(d)
+    w = Window.partitionBy("conv_id", "mention").orderBy("uris")
+    return (
+        probe.join(d, "alias_norm", "inner")
+        .select("conv_id", "mention", "uris")
+        .distinct()  # group dedup by full-list equality (DicoProcessingNEL.java:163-175)
+        .withColumn("group_idx", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        .select("conv_id", "mention", "group_idx", "uris")
+    )
+
+
+def conversation_cases(mentions: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Per-conversation routing — checkConditionsToNEL (MainNELApp.java:418-442).
+
+    Returns (conv_id, case) with case in {'Ok','NoAmbiguity'}; conversations with
+    zero detected mentions never appear in `mentions` (the NoMentionsAnnotated
+    case produces no rows downstream by construction).
+    """
+    n_groups = candidates.groupBy("conv_id", "mention").agg(F.count("*").alias("n_groups"))
+    return (
+        mentions.select("conv_id", "mention")
+        .join(n_groups, ["conv_id", "mention"], "left")
+        .groupBy("conv_id")
+        .agg(F.max(F.coalesce(F.col("n_groups"), F.lit(0))).alias("max_groups"))
+        .select(
+            "conv_id",
+            F.when(F.col("max_groups") > 1, F.lit("Ok")).otherwise(F.lit("NoAmbiguity")).alias("case"),
+        )
+    )

@@ -1,0 +1,266 @@
+"""Stage 3 — per-conversation graph disambiguation, expressed relationally.
+
+Re-expresses the reference's per-paragraph in-memory graph algorithm —
+sameAs expansion (GraphHandlerNEL.java:114-197), graph fusion with alias folding
+(:211-343), <2-mention-bridge pruning (CentralityHandler.java:100-122), degree
+centrality + argmax + preferred-URI projection (:137-215) — as joins and
+aggregations over (conv_id, ...) keyed DataFrames.
+
+Why relational instead of groupBy(conv_id).applyInPandas for the core path:
+every step is an equi-join or aggregation on (conv_id, vertex)-grain keys, so
+Spark distributes *within* a conversation too — a mega-conversation never has to
+fit into a single task (the skew hazard of grouped-map UDFs). AQE's skew-join
+splitting handles residual hot keys. A reference-faithful applyInPandas variant
+lives in `grouped.py` for parity testing (and as the sanctioned escape hatch the
+north star sketches).
+
+All steps share deterministic tie-break rules with the oracle (oracle.py D1-D6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import SAME_AS, decompose, encode_last_segment
+
+
+@dataclass(frozen=True)
+class NELConfig:
+    """The subset of the reference's 16 config.properties knobs that survive the
+    rebuild (config/config-authors-bnf.properties)."""
+
+    base_prefix: str  # `baseURIs`
+    preferred_uri: str  # `preferedURIOrder` ('ALL' or a prefix)
+    sameas_pred: str = SAME_AS  # `sameAsproperty`
+
+
+def _group_members(candidates: DataFrame) -> DataFrame:
+    """Explode candidate groups to one row per member URI, keeping group identity."""
+    return candidates.select(
+        "conv_id",
+        "mention",
+        "group_idx",
+        "uris",
+        F.posexplode("uris").alias("pos", "member"),
+    )
+
+
+def fuse_edges(candidates: DataFrame, kb_edges: DataFrame, rel_weights: DataFrame, cfg: NELConfig) -> DataFrame:
+    """Fused per-conversation graph edges (conv_id, src, dst, pred, weight).
+
+    Edges originate at the *base* vertex even when the triple's subject is a
+    sameAs alias (GraphHandlerNEL.java:255-292); aliases with no raw-subject
+    triples are re-probed %-encoded (:293-330); sameAs triples and self-loops are
+    skipped; one edge per (src,dst) — min(pred) wins (oracle D3).
+    """
+    members = _group_members(candidates)
+    is_base = F.col("member").contains(F.lit(cfg.base_prefix))
+    # per group: the LAST base member is the fold target (GraphHandlerNEL.java:128-132)
+    base_of_group = F.element_at(
+        F.filter(F.col("uris"), lambda u: u.contains(F.lit(cfg.base_prefix))), -1
+    )
+    members = members.withColumn("base_uri", base_of_group).filter(F.col("base_uri").isNotNull())
+
+    sameas = kb_edges.filter(F.col("pred") == cfg.sameas_pred).select(
+        F.col("subj").alias("member"), F.col("obj").alias("sameas_obj")
+    )
+    # aliases from base members' sameAs links (case 1, GraphHandlerNEL.java:131-168)
+    alias_from_sameas = (
+        members.filter(is_base)
+        .join(sameas, "member")
+        .select("conv_id", "base_uri", decompose("sameas_obj").alias("alias"))
+    )
+    # aliases from non-base dictionary members (case 2, :169-181)
+    alias_from_dico = members.filter(~is_base).select(
+        "conv_id", "base_uri", decompose("member").alias("alias")
+    )
+    aliases = (
+        alias_from_sameas.unionByName(alias_from_dico)
+        .filter(F.lower(F.col("alias")) != F.lower(F.col("base_uri")))
+        .distinct()
+    )
+
+    triples = kb_edges.select("subj", "pred", "obj")
+    probe1 = aliases.join(triples, aliases["alias"] == triples["subj"], "inner")
+    # fallback: aliases with ZERO raw-subject triples, re-probed %-encoded (:293-330)
+    missing = aliases.join(
+        triples.select("subj").distinct(), aliases["alias"] == F.col("subj"), "left_anti"
+    )
+    probe2 = missing.withColumn("enc", encode_last_segment("alias")).join(
+        triples, F.col("enc") == triples.subj, "inner"
+    )
+    fused = (
+        probe1.select("conv_id", "base_uri", "pred", "obj")
+        .unionByName(probe2.select("conv_id", "base_uri", "pred", "obj"))
+        .filter(F.col("pred") != cfg.sameas_pred)
+        .select(
+            "conv_id",
+            decompose("base_uri").alias("src"),
+            decompose("obj").alias("dst"),
+            "pred",
+        )
+        .filter(F.lower(F.col("src")) != F.lower(F.col("dst")))
+    )
+    rels = F.broadcast(
+        rel_weights.select(F.lower(F.col("pred")).alias("pred_lc"), F.col("weight").alias("rel_weight"))
+    )
+    weighted = fused.join(rels, F.lower(fused.pred) == F.col("pred_lc"), "left").select(
+        "conv_id", "src", "dst", "pred", F.coalesce("rel_weight", F.lit(1.0)).alias("weight")
+    )
+    # simple-graph constraint: <=1 edge per (src,dst) (JGraphT, oracle D3)
+    return weighted.groupBy("conv_id", "src", "dst").agg(
+        F.min(F.struct("pred", "weight")).alias("pw")
+    ).select("conv_id", "src", "dst", F.col("pw.pred").alias("pred"), F.col("pw.weight").alias("weight"))
+
+
+def colored_nodes(candidates: DataFrame, cfg: NELConfig) -> DataFrame:
+    """Candidate base-KB vertices: raw + decomposed forms (CentralityHandler.java:78-97).
+    Returns (conv_id, v) distinct."""
+    members = _group_members(candidates).filter(F.col("member").contains(F.lit(cfg.base_prefix)))
+    raw = members.select("conv_id", F.col("member").alias("v"))
+    dec = members.select("conv_id", decompose("member").alias("v"))
+    return raw.unionByName(dec).distinct()
+
+
+def inverted_index(candidates: DataFrame) -> DataFrame:
+    """(conv_id, v) -> winning mention: max(mention) over raw+decomposed URIs
+    (oracle D4; reference: last-writer-wins, DicoProcessingNEL.java:387-401)."""
+    members = _group_members(candidates)
+    keys = members.select("conv_id", "mention", F.col("member").alias("v")).unionByName(
+        members.select("conv_id", "mention", decompose("member").alias("v"))
+    )
+    return keys.groupBy("conv_id", "v").agg(F.max("mention").alias("inv_mention"))
+
+
+def prune_and_degree(
+    edges: DataFrame, candidates: DataFrame, cfg: NELConfig
+) -> DataFrame:
+    """Prune <2-mention bridges, then degree per surviving vertex.
+
+    Returns (conv_id, v, degree). Vertex set = edge endpoints plus isolated base
+    vertices (degree 0 is implicit — score lookup later coalesces to 0).
+    """
+    colored = colored_nodes(candidates, cfg)
+    inv = inverted_index(candidates)
+
+    ends = edges.select("conv_id", F.col("src").alias("v"), F.col("dst").alias("other")).unionByName(
+        edges.select("conv_id", F.col("dst").alias("v"), F.col("src").alias("other"))
+    )
+    non_colored = ends.join(colored, ["conv_id", "v"], "left_anti")
+    # neighbor must be colored; its mention via the inverted index
+    bridge_counts = (
+        non_colored.filter(F.col("v") != F.col("other"))
+        .join(colored.withColumnRenamed("v", "other"), ["conv_id", "other"], "inner")
+        .join(inv.withColumnRenamed("v", "other"), ["conv_id", "other"], "left")
+        .groupBy("conv_id", "v")
+        .agg(F.countDistinct("inv_mention").alias("n_mentions"))
+    )
+    survivors = colored.unionByName(
+        bridge_counts.filter(F.col("n_mentions") >= 2).select("conv_id", "v")
+    ).distinct()
+
+    pruned = (
+        edges.join(survivors.withColumnRenamed("v", "src"), ["conv_id", "src"], "left_semi")
+        .join(survivors.withColumnRenamed("v", "dst"), ["conv_id", "dst"], "left_semi")
+    )
+    return (
+        pruned.select("conv_id", F.explode(F.array("src", "dst")).alias("v"))
+        .groupBy("conv_id", "v")
+        .agg(F.count("*").cast("double").alias("degree"))
+    )
+
+
+def choose_links(
+    candidates: DataFrame, degrees: DataFrame, cfg: NELConfig
+) -> DataFrame:
+    """Argmax per (conv_id, mention) + preferred-URI projection
+    (CentralityHandler.java:154-215). Returns (conv_id, mention, chosen_uris, score)."""
+    members = _group_members(candidates).withColumn("dec", decompose("member"))
+    colored = colored_nodes(candidates, cfg)
+
+    scored = (
+        members.join(colored.withColumnRenamed("v", "dec"), ["conv_id", "dec"], "left_semi")
+        .join(degrees.withColumnRenamed("v", "dec"), ["conv_id", "dec"], "left")
+        .withColumn("score", F.coalesce("degree", F.lit(0.0)))
+    )
+    winners = scored.groupBy("conv_id", "mention").agg(
+        F.max(F.struct("score", "dec")).alias("win")
+    ).select("conv_id", "mention", F.col("win.dec").alias("winner"), F.col("win.score").alias("score"))
+
+    # groups containing the winner (decomposed comparison — oracle D6)
+    matching = (
+        members.join(winners, ["conv_id", "mention"], "inner")
+        .filter(F.col("dec") == F.col("winner"))
+        .select("conv_id", "mention", "group_idx", "uris", "winner", "score")
+        .distinct()
+    )
+    if cfg.preferred_uri == "ALL":
+        chosen = (
+            matching.groupBy("conv_id", "mention", "score")
+            .agg(F.concat_ws(" ", F.flatten(F.array_sort(F.collect_list(F.struct("group_idx", "uris"))).uris)).alias("chosen_uris"))
+        )
+    else:
+        # per group: LAST member containing the preferred prefix; the LAST matching
+        # group wins overall; a last group without a match falls back to the winner
+        grp_sel = F.element_at(
+            F.filter(F.col("uris"), lambda u: u.contains(F.lit(cfg.preferred_uri))), -1
+        )
+        w = Window.partitionBy("conv_id", "mention").orderBy(F.desc("group_idx"))
+        chosen = (
+            matching.withColumn("grp_sel", grp_sel)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "conv_id",
+                "mention",
+                F.coalesce("grp_sel", "winner").alias("chosen_uris"),
+                "score",
+            )
+        )
+    return chosen.select("conv_id", "mention", "chosen_uris", F.col("score").cast("double").alias("score"))
+
+
+def simple_links(candidates: DataFrame) -> DataFrame:
+    """No-ambiguity path: first group's URIs space-joined
+    (produceResultsSimple, ResultsAndEvaluationNEL.java:138-190; oracle D1)."""
+    return (
+        candidates.filter(F.col("group_idx") == 0)
+        .select(
+            "conv_id",
+            "mention",
+            F.concat_ws(" ", "uris").alias("chosen_uris"),
+            F.lit(None).cast("double").alias("score"),
+        )
+    )
+
+
+def disambiguate(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    kb_edges: DataFrame,
+    rel_weights: DataFrame,
+    cases: DataFrame,
+    cfg: NELConfig,
+) -> DataFrame:
+    """Full stage 3: occurrences + candidates -> LINKS (one row per occurrence
+    of a mention that received a URI)."""
+    ok_convs = cases.filter(F.col("case") == "Ok").select("conv_id")
+    simple_convs = cases.filter(F.col("case") == "NoAmbiguity").select("conv_id")
+
+    cand_ok = candidates.join(ok_convs, "conv_id", "left_semi")
+    cand_simple = candidates.join(simple_convs, "conv_id", "left_semi")
+
+    edges = fuse_edges(cand_ok, kb_edges, rel_weights, cfg)
+    degrees = prune_and_degree(edges, cand_ok, cfg)
+    graph_chosen = choose_links(cand_ok, degrees, cfg).withColumn("path", F.lit("graph"))
+    simple_chosen = simple_links(cand_simple).withColumn("path", F.lit("simple"))
+    chosen = graph_chosen.unionByName(simple_chosen)
+
+    return (
+        mentions.select("conv_id", "turn_idx", "occ_idx", "mention")
+        .join(chosen, ["conv_id", "mention"], "inner")
+        .select("conv_id", "turn_idx", "occ_idx", "mention", "chosen_uris", "score", "path")
+    )

@@ -1,0 +1,117 @@
+"""Stage 1 — mention detection over transcript text.
+
+Replaces the reference's XPath tag scan (MainNELApp.java:233-241, where mentions
+arrive pre-annotated in TEI): here we detect every known surface form (dictionary
+aliases + annotatable NIL terms) in raw turn text.
+
+Two implementations with identical output on non-repeating text:
+
+* :func:`detect_mentions` — the production path: an Arrow-batched pandas UDF
+  running a compiled leftmost-longest gazetteer regex per text batch. The term
+  list is shipped once per executor via a Spark broadcast; the compiled matcher
+  is cached per worker process. Scales: embarrassingly parallel per turn, no
+  shuffle until the occurrence-index window.
+
+* :func:`detect_mentions_relational` — pure DataFrame ops (broadcast join +
+  boundary predicates + maximality anti-join). Used for DuckDB oracle parity;
+  restriction: detects at most one occurrence of a given term per turn (first
+  position), so it matches the UDF path only when no term repeats within a turn.
+
+occ_idx = dense per (conv_id, turn_idx), ordered by start position — this is the
+stable ordering key for the positional gold join
+(ResultsAndEvaluationNEL.java:240-258) and the north-rule (conv_id, turn_idx)
+ordering invariant.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+from ..functions.gazetteer import GazetteerMatcher
+
+_MATCH_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("mention", StringType()),
+            StructField("start_pos", IntegerType()),
+        ]
+    )
+)
+
+# per-worker matcher cache: broadcast identity -> compiled matcher
+_MATCHER_CACHE: dict[object, GazetteerMatcher] = {}
+
+
+def _matcher_for(bc) -> GazetteerMatcher:
+    # worker-side Broadcast exposes _path (spill file); driver-side has _jbroadcast.
+    key = getattr(bc, "_path", None) or id(bc)
+    matcher = _MATCHER_CACHE.get(key)
+    if matcher is None:
+        matcher = GazetteerMatcher(bc.value)
+        _MATCHER_CACHE.clear()  # keep at most one compiled gazetteer per worker
+        _MATCHER_CACHE[key] = matcher
+    return matcher
+
+
+def detect_mentions(turns: DataFrame, terms: DataFrame) -> DataFrame:
+    """transcripts x mention_terms -> MENTIONS schema (production pandas-UDF path)."""
+    spark = turns.sparkSession
+    term_list = [r[0] for r in terms.select("term").distinct().collect()]
+    bc = spark.sparkContext.broadcast(term_list)
+
+    @F.pandas_udf(_MATCH_TYPE)
+    def find_all(texts: pd.Series) -> pd.Series:
+        matcher = _matcher_for(bc)
+        return texts.map(lambda t: [{"mention": m, "start_pos": s} for m, s in matcher.find(t or "")])
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("start_pos")
+    return (
+        turns.select("conv_id", "turn_idx", F.explode(find_all(F.col("text"))).alias("m"))
+        .select("conv_id", "turn_idx", F.col("m.mention").alias("mention"), F.col("m.start_pos").alias("start_pos"))
+        .withColumn("occ_idx", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        .select("conv_id", "turn_idx", "occ_idx", "mention", "start_pos")
+    )
+
+
+def detect_mentions_relational(turns: DataFrame, terms: DataFrame) -> DataFrame:
+    """DataFrame-only detector (broadcast join; first occurrence per term/turn).
+
+    Maximality: a match strictly contained in a longer match's span is dropped
+    (mirrors leftmost-longest). Word boundary: the chars adjacent to the match
+    must not be word chars.
+    """
+    t = terms.select(F.col("term")).distinct()
+    cand = (
+        turns.select("conv_id", "turn_idx", "text")
+        .join(F.broadcast(t), F.instr("text", F.col("term")) > 0)
+        .withColumn("start_pos", (F.instr("text", F.col("term")) - 1).cast("int"))
+        .withColumn("end_pos", F.col("start_pos") + F.length("term"))
+        # boundary chars (substring is 1-based; out-of-range yields ''; pos=0 would
+        # be coerced to 1, so guard the string-start case explicitly)
+        .withColumn(
+            "pre",
+            F.when(F.col("start_pos") == 0, F.lit("")).otherwise(
+                F.substring(F.col("text"), F.col("start_pos"), F.lit(1))
+            ),
+        )
+        .withColumn("post", F.substring(F.col("text"), F.col("end_pos") + 1, F.lit(1)))
+        .filter(~F.col("pre").rlike(r"\w") & ~F.col("post").rlike(r"\w"))
+        .select("conv_id", "turn_idx", F.col("term").alias("mention"), "start_pos", "end_pos")
+    )
+    inner = cand.alias("a").join(
+        cand.alias("b"),
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+        & (F.col("a.mention") != F.col("b.mention"))
+        & (F.col("a.start_pos") >= F.col("b.start_pos"))
+        & (F.col("a.end_pos") <= F.col("b.end_pos")),
+        "left_anti",
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("start_pos")
+    return (
+        inner.withColumn("occ_idx", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        .select("conv_id", "turn_idx", "occ_idx", "mention", "start_pos")
+    )

@@ -1,0 +1,102 @@
+"""End-to-end parity: Spark stages 1-4 vs the single-node REDEN-semantics oracle."""
+
+from reden_spark import datagen, oracle
+from reden_spark.operators.candidates import conversation_cases, generate_candidates
+from reden_spark.operators.canonicalize import materialize_triples
+from reden_spark.operators.disambiguate import NELConfig, disambiguate
+from reden_spark.operators.mentions import detect_mentions
+
+CFG = NELConfig(base_prefix=datagen.BASE_PREFIX, preferred_uri=datagen.BASE_PREFIX)
+
+
+def run_stages(spark, tables):
+    mentions = detect_mentions(tables["transcripts"], tables["mention_terms"])
+    candidates = generate_candidates(mentions, tables["dico"])
+    cases = conversation_cases(mentions, candidates)
+    links = disambiguate(mentions, candidates, tables["kb_edges"], tables["rel_weights"], cases, CFG)
+    return mentions, candidates, cases, links
+
+
+def test_mentions_match_oracle(spark, tables, py_tables):
+    from reden_spark.functions.gazetteer import GazetteerMatcher
+
+    matcher = GazetteerMatcher([r["term"] for r in py_tables["mention_terms"]])
+    expected = set()
+    for row in py_tables["transcripts"]:
+        for occ, (term, start) in enumerate(matcher.find(row["text"] or "")):
+            expected.add((row["conv_id"], row["turn_idx"], occ, term, start))
+    got = {
+        (r.conv_id, r.turn_idx, r.occ_idx, r.mention, r.start_pos)
+        for r in detect_mentions(tables["transcripts"], tables["mention_terms"]).collect()
+    }
+    assert got == expected
+    assert len(got) > 50
+
+
+def test_links_match_oracle_exactly(spark, tables, oracle_links):
+    _, _, _, links = run_stages(spark, tables)
+    got = {
+        (r.conv_id, r.turn_idx, r.occ_idx, r.mention): (r.chosen_uris, r.score, r.path)
+        for r in links.collect()
+    }
+    want = {
+        (l["conv_id"], l["turn_idx"], l["occ_idx"], l["mention"]): (
+            l["chosen_uris"],
+            l["score"],
+            l["path"],
+        )
+        for l in oracle_links
+    }
+    assert set(got) == set(want), (
+        f"only-spark={list(set(got) - set(want))[:5]} only-oracle={list(set(want) - set(got))[:5]}"
+    )
+    mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:5]}"
+
+
+def test_parity_gate_pr(spark, tables, oracle_links):
+    """BASELINE.md metric 1: P/R >= 0.95 vs the reference-semantics links."""
+    from reden_spark.operators.evaluate import link_precision_recall
+
+    _, _, _, links = run_stages(spark, tables)
+    expected = spark.createDataFrame(
+        [
+            (l["conv_id"], l["turn_idx"], l["occ_idx"], l["chosen_uris"])
+            for l in oracle_links
+        ],
+        "conv_id string, turn_idx int, occ_idx int, chosen_uris string",
+    )
+    row = link_precision_recall(links, expected).collect()[0]
+    assert row.precision >= 0.95 and row.recall >= 0.95, row
+
+
+def test_triples_match_oracle(spark, tables, py_tables, oracle_links):
+    _, _, _, links = run_stages(spark, tables)
+    triples = materialize_triples(links, tables["kb_edges"], tables["dico"])
+    got = {(r.subj, r.pred, r.obj) for r in triples.collect()}
+    want = set(
+        oracle.links_to_triples(
+            oracle_links,
+            [(r["subj"], r["pred"], r["obj"]) for r in py_tables["kb_edges"]],
+            py_tables["dico"],
+        )
+    )
+    assert got == want, (
+        f"only-spark={list(got - want)[:5]} only-oracle={list(want - got)[:5]}"
+    )
+
+
+def test_per_turn_text_equality_invariant(spark, tables, fixture_dir):
+    """North-rule invariant: per-turn text equality under stable (conv_id, turn_idx)
+    ordering between the source table and what the pipeline reads."""
+    import pyarrow.parquet as pq
+
+    src = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in pq.read_table(str(fixture_dir / "transcripts.parquet")).to_pylist()
+    )
+    via_spark = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in tables["transcripts"].select("conv_id", "turn_idx", "text").collect()
+    )
+    assert src == via_spark
