@@ -1,0 +1,140 @@
+"""Benchmark harness (driver contract): prints ONE JSON line
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Headline: the full checkpointed KG pipeline (mentions -> candidates -> links ->
+triples, parquet checkpoints included) over a bench-scale synthetic transcripts
+table (~600k turns, sized like sf0.1 lineitem; generated once and cached under
+.bench_cache/). Also times representative per-operator queries from the driver
+contract at $SPARK_GRAFT_SF_DIR.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32). `--dual` additionally runs the headline at
+local[8] vs local[$SPARK_GRAFT_CPUS] and reports scaling efficiency (the
+sandbox proxy for the north rule's N->4N-executor criterion).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+REPO = Path(__file__).resolve().parent
+BENCH_CACHE = REPO / ".bench_cache"
+BENCH_TURNS_TARGET = 600_000
+
+
+def ensure_bench_data() -> Path:
+    """Generate (once) the bench-scale transcripts fixture; cached on disk."""
+    from reden_spark import datagen
+
+    out = BENCH_CACHE / "kg_bench"
+    marker = out / "transcripts.parquet"
+    if marker.exists():
+        return out
+    # ~3000 convs x ~200 turns ≈ 600k turns + a 20x skewed conversation
+    datagen.generate(out, n_convs=3000, mean_turns=200, seed=42, skew_factor=20, with_gold=False)
+    return out
+
+
+def run_headline(master_cpus: str, data_dir: Path) -> dict:
+    from reden_spark.datagen import BASE_PREFIX
+    from reden_spark.operators.disambiguate import NELConfig
+    from reden_spark.plans.pipeline import run_pipeline
+    from reden_spark.session import get_spark
+
+    spark = get_spark("reden-bench", master=f"local[{master_cpus}]")
+    try:
+        n_turns = spark.read.parquet(str(data_dir / "transcripts.parquet")).count()
+        out_dir = tempfile.mkdtemp(prefix="reden_bench_out_")
+        cfg = NELConfig(base_prefix=BASE_PREFIX, preferred_uri=BASE_PREFIX)
+        t0 = time.time()
+        dfs = run_pipeline(spark, data_dir, out_dir, cfg)
+        n_links = dfs["links"].count()
+        n_triples = dfs["triples"].count()
+        elapsed = time.time() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return {
+            "elapsed_sec": elapsed,
+            "n_turns": n_turns,
+            "n_links": n_links,
+            "n_triples": n_triples,
+            "turns_per_sec": n_turns / elapsed,
+        }
+    finally:
+        spark.stop()
+
+
+PER_QUERY = [
+    "kg_links",
+    "kg_triples",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "rel_pushdown_agg",
+    "rel_sessionize",
+]
+
+
+def run_per_query(master_cpus: str, sf_dir: str) -> dict[str, float]:
+    from reden_spark.driver_contract import QUERIES
+    from reden_spark.session import get_spark
+
+    spark = get_spark("reden-bench-q", master=f"local[{master_cpus}]")
+    timings: dict[str, float] = {}
+    try:
+        for name in PER_QUERY:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dual", action="store_true", help="also run headline at local[8] for scaling efficiency")
+    ap.add_argument("--skip-queries", action="store_true")
+    a = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
+
+    data_dir = ensure_bench_data()
+    head = run_headline(cpus, data_dir)
+    queries = {} if a.skip_queries else run_per_query(cpus, sf_dir)
+
+    result = {
+        "metric": "kg_pipeline_wall_clock",
+        "value": round(head["elapsed_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_turns": head["n_turns"],
+        "turns_per_sec": round(head["turns_per_sec"], 1),
+        "n_links": head["n_links"],
+        "n_triples": head["n_triples"],
+        "cpus": int(cpus),
+    }
+
+    if a.dual:
+        low = run_headline("8", data_dir)
+        ratio = (head["turns_per_sec"] / low["turns_per_sec"]) / (int(cpus) / 8)
+        result["turns_per_sec_8"] = round(low["turns_per_sec"], 1)
+        result["scaling_efficiency_8_to_32"] = round(ratio, 3)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1005 @@
+"""Driver-contract queries + DuckDB oracle SQL (consumed by __spark_entry__.py).
+
+The driver pre-registers only the generic tables (region nation customer supplier
+part orders lineitem events documents embeddings) as DuckDB views, so the KG
+pipeline's input tables (transcripts/dico/kb_edges/gold — FIXTURES.md shapes) are
+*derived deterministically* from events+nation here, in both engines:
+
+  * transcripts: one turn per event; conv_id = user bucket; text embeds two
+    nation names (the dictionary aliases) in a fixed French template;
+  * dico: one candidate group per nation; every 5th nation gets a second
+    "shadow" group => ambiguous aliases exercising the graph path;
+  * kb_edges: region-shared resources hanging off alt-URI subjects (the
+    alias-folding path), solo resources (pruned), owl:sameAs to ext URIs for
+    even keys, a shadow cluster resource;
+  * gold: the intended nation entity per occurrence.
+
+Every queries() entry calls the production operators; every oracle_sql() entry
+restates the same semantics in ANSI-ish DuckDB SQL over the same derivation.
+Hash-sensitive outputs avoid arrays and raw floats (joined strings / rounded
+doubles / ranks instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import SAME_AS
+from .operators.candidates import conversation_cases, generate_candidates
+from .operators.canonicalize import connected_components, materialize_triples, sameas_edge_frame
+from .operators.disambiguate import (
+    NELConfig,
+    choose_links,
+    fuse_edges,
+    prune_and_degree,
+)
+from .operators.disambiguate import disambiguate as disambiguate_relational
+from .operators.evaluate import eval_records, hachey_metrics
+from .operators.mentions import detect_mentions
+
+BASE = "http://kb.test/base"
+CFG = NELConfig(base_prefix=BASE, preferred_uri=BASE)
+PRED_KNOWS = "http://kb.test/pred/knows"
+PRED_ASSOC = "http://kb.test/pred/assoc"
+
+# ---------------------------------------------------------------------------
+# Spark-side derivation (events + nation -> KG input tables)
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derive_turns_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = ev.select(
+        F.concat(F.lit("c"), (F.col("user_id") % 40).cast("string")).alias("conv_id"),
+        "ts",
+        "event_id",
+        (F.col("event_id") % 25).cast("int").alias("k1"),
+        ((F.col("event_id") % 25 + 1 + F.col("event_id") % 13) % 25).cast("int").alias("k2"),
+        F.when(F.col("event_id") % 3 == 0, "user")
+        .when(F.col("event_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    # 'X' suffix => no alias is a prefix/substring of another (NATION_1 vs NATION_12)
+    n1 = nat.select(F.col("n_nationkey").alias("k1"), F.concat("n_name", F.lit("X")).alias("n1"))
+    n2 = nat.select(F.col("n_nationkey").alias("k2"), F.concat("n_name", F.lit("X")).alias("n2"))
+    return (
+        base.join(F.broadcast(n1), "k1")
+        .join(F.broadcast(n2), "k2")
+        .withColumn("turn_idx", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        .withColumn(
+            "text",
+            F.concat(F.lit("On parla de "), "n1", F.lit(" puis de "), "n2", F.lit(" ensemble.")),
+        )
+    )
+
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_turns_raw(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", F.lit(None).cast("string").alias("tool"), "ts"
+    )
+
+
+def derive_dico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    k = F.col("n_nationkey").cast("string")
+    alias = F.concat("n_name", F.lit("X"))
+    main = nat.select(
+        alias.alias("alias"),
+        F.lower(F.regexp_replace(alias, r"\s|'|-", "")).alias("alias_norm"),
+        alias.alias("name"),
+        F.lit("LOC").alias("ne_type"),
+        F.array(F.concat(F.lit(f"{BASE}/nat/"), k), F.concat(F.lit("http://kb.test/alt/nat/"), k)).alias("uris"),
+    )
+    shadow = nat.filter(F.col("n_nationkey") % 5 == 0).select(
+        alias.alias("alias"),
+        F.lower(F.regexp_replace(alias, r"\s|'|-", "")).alias("alias_norm"),
+        alias.alias("name"),
+        F.lit("LOC").alias("ne_type"),
+        F.array(
+            F.concat(F.lit(f"{BASE}/shadow/"), k), F.concat(F.lit("http://kb.test/alt/shadow/"), k)
+        ).alias("uris"),
+    )
+    return main.unionByName(shadow)
+
+
+def derive_mention_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_dico(spark, sf_dir).select(F.col("alias").alias("term"), "ne_type").distinct()
+
+
+def derive_kb_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    k = F.col("n_nationkey").cast("string")
+    r = F.col("n_regionkey").cast("string")
+    alt = F.concat(F.lit("http://kb.test/alt/nat/"), k)
+    base = F.concat(F.lit(f"{BASE}/nat/"), k)
+    ext = F.concat(F.lit("http://ext.kb/nat/"), k)
+    reg_res = F.concat(F.lit("http://kb.test/res/reg/"), r)
+    reg_res2 = F.concat(F.lit("http://kb.test/res/reg/"), r, F.lit("/x"), (F.col("n_nationkey") % 2).cast("string"))
+    one = F.lit(1.0)
+    parts = [
+        nat.select(alt.alias("subj"), F.lit(PRED_KNOWS).alias("pred"), reg_res.alias("obj"), one.alias("weight")),
+        nat.select(alt.alias("subj"), F.lit(PRED_KNOWS).alias("pred"), reg_res2.alias("obj"), one.alias("weight")),
+        nat.select(
+            alt.alias("subj"),
+            F.lit(PRED_ASSOC).alias("pred"),
+            F.concat(F.lit("http://kb.test/res/solo/"), k).alias("obj"),
+            one.alias("weight"),
+        ),
+        nat.filter(F.col("n_nationkey") % 2 == 0).select(
+            base.alias("subj"), F.lit(SAME_AS).alias("pred"), ext.alias("obj"), one.alias("weight")
+        ),
+        nat.filter(F.col("n_nationkey") % 2 == 0).select(
+            ext.alias("subj"), F.lit(PRED_ASSOC).alias("pred"), reg_res.alias("obj"), one.alias("weight")
+        ),
+        nat.filter(F.col("n_nationkey") % 5 == 0).select(
+            F.concat(F.lit("http://kb.test/alt/shadow/"), k).alias("subj"),
+            F.lit(PRED_KNOWS).alias("pred"),
+            F.lit("http://kb.test/res/shadowland").alias("obj"),
+            one.alias("weight"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def derive_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = derive_turns_raw(spark, sf_dir)
+    g1 = raw.select(
+        "conv_id",
+        "turn_idx",
+        F.lit(0).cast("int").alias("occ_idx"),
+        F.col("n1").alias("mention"),
+        F.concat(F.lit(f"{BASE}/nat/"), F.col("k1").cast("string")).alias("gold_uri"),
+    )
+    g2 = raw.select(
+        "conv_id",
+        "turn_idx",
+        F.lit(1).cast("int").alias("occ_idx"),
+        F.col("n2").alias("mention"),
+        F.concat(F.lit(f"{BASE}/nat/"), F.col("k2").cast("string")).alias("gold_uri"),
+    )
+    return g1.unionByName(g2)
+
+
+def empty_rel_weights(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "pred string, weight double")
+
+
+def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    transcripts = derive_transcripts(spark, sf_dir)
+    terms = derive_mention_terms(spark, sf_dir)
+    dico = derive_dico(spark, sf_dir)
+    kb = derive_kb_edges(spark, sf_dir)
+    rels = empty_rel_weights(spark)
+    mentions = detect_mentions(transcripts, terms)
+    candidates = generate_candidates(mentions, dico)
+    cases = conversation_cases(mentions, candidates)
+    return {
+        "transcripts": transcripts,
+        "dico": dico,
+        "kb_edges": kb,
+        "rel_weights": rels,
+        "mentions": mentions,
+        "candidates": candidates,
+        "cases": cases,
+    }
+
+
+# ---------------------------------------------------------------------------
+# The SQL twin: one CTE chain restating the derivation + every pipeline stage
+# ---------------------------------------------------------------------------
+
+SQL_PREFIX = f"""
+WITH RECURSIVE turns_raw AS (
+  SELECT 'c' || CAST(user_id % 40 AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id % 40 ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         CASE CAST(event_id % 3 AS INTEGER) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         CAST(event_id % 25 AS INTEGER) AS k1,
+         CAST((event_id % 25 + 1 + event_id % 13) % 25 AS INTEGER) AS k2,
+         n1.n_name || 'X' AS n1, n2.n_name || 'X' AS n2,
+         'On parla de ' || n1.n_name || 'X puis de ' || n2.n_name || 'X ensemble.' AS text
+  FROM events e
+  JOIN nation n1 ON n1.n_nationkey = CAST(e.event_id % 25 AS INTEGER)
+  JOIN nation n2 ON n2.n_nationkey = CAST((e.event_id % 25 + 1 + e.event_id % 13) % 25 AS INTEGER)
+),
+transcripts AS (SELECT conv_id, turn_idx, role, text FROM turns_raw),
+dico AS (
+  SELECT n_name || 'X' AS alias, lower(regexp_replace(n_name || 'X', '\\s|''|-', '', 'g')) AS alias_norm,
+         n_name || 'X' AS name, 'LOC' AS ne_type,
+         ['{BASE}/nat/' || CAST(n_nationkey AS VARCHAR),
+          'http://kb.test/alt/nat/' || CAST(n_nationkey AS VARCHAR)] AS uris
+  FROM nation
+  UNION ALL
+  SELECT n_name || 'X', lower(regexp_replace(n_name || 'X', '\\s|''|-', '', 'g')), n_name || 'X', 'LOC',
+         ['{BASE}/shadow/' || CAST(n_nationkey AS VARCHAR),
+          'http://kb.test/alt/shadow/' || CAST(n_nationkey AS VARCHAR)]
+  FROM nation WHERE n_nationkey % 5 = 0
+),
+kb_edges AS (
+  SELECT 'http://kb.test/alt/nat/' || CAST(n_nationkey AS VARCHAR) AS subj,
+         '{PRED_KNOWS}' AS pred,
+         'http://kb.test/res/reg/' || CAST(n_regionkey AS VARCHAR) AS obj, 1.0 AS weight FROM nation
+  UNION ALL
+  SELECT 'http://kb.test/alt/nat/' || CAST(n_nationkey AS VARCHAR), '{PRED_KNOWS}',
+         'http://kb.test/res/reg/' || CAST(n_regionkey AS VARCHAR) || '/x' || CAST(n_nationkey % 2 AS VARCHAR), 1.0 FROM nation
+  UNION ALL
+  SELECT 'http://kb.test/alt/nat/' || CAST(n_nationkey AS VARCHAR), '{PRED_ASSOC}',
+         'http://kb.test/res/solo/' || CAST(n_nationkey AS VARCHAR), 1.0 FROM nation
+  UNION ALL
+  SELECT '{BASE}/nat/' || CAST(n_nationkey AS VARCHAR), '{SAME_AS}',
+         'http://ext.kb/nat/' || CAST(n_nationkey AS VARCHAR), 1.0 FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT 'http://ext.kb/nat/' || CAST(n_nationkey AS VARCHAR), '{PRED_ASSOC}',
+         'http://kb.test/res/reg/' || CAST(n_regionkey AS VARCHAR), 1.0 FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT 'http://kb.test/alt/shadow/' || CAST(n_nationkey AS VARCHAR), '{PRED_KNOWS}',
+         'http://kb.test/res/shadowland', 1.0 FROM nation WHERE n_nationkey % 5 = 0
+),
+gold AS (
+  SELECT conv_id, turn_idx, CAST(0 AS INTEGER) AS occ_idx, n1 AS mention,
+         '{BASE}/nat/' || CAST(k1 AS VARCHAR) AS gold_uri FROM turns_raw
+  UNION ALL
+  SELECT conv_id, turn_idx, CAST(1 AS INTEGER), n2,
+         '{BASE}/nat/' || CAST(k2 AS VARCHAR) FROM turns_raw
+),
+mentions AS (
+  SELECT conv_id, turn_idx,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY strpos(text, alias)) - 1 AS INTEGER) AS occ_idx,
+         alias AS mention,
+         CAST(strpos(text, alias) - 1 AS INTEGER) AS start_pos
+  FROM transcripts t JOIN (SELECT DISTINCT alias FROM dico) d
+    ON strpos(t.text, d.alias) > 0
+   -- whole-word boundaries (NATION_1 must not match inside NATION_12)
+   AND NOT regexp_matches(substring(t.text, strpos(t.text, d.alias) + length(d.alias), 1), '\\w')
+   AND (strpos(t.text, d.alias) = 1
+        OR NOT regexp_matches(substring(t.text, strpos(t.text, d.alias) - 1, 1), '\\w'))
+),
+candidates AS (
+  SELECT conv_id, mention,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, mention ORDER BY uris) - 1 AS INTEGER) AS group_idx,
+         uris
+  FROM (SELECT DISTINCT m.conv_id, m.mention, d.uris
+        FROM (SELECT DISTINCT conv_id, mention FROM mentions) m
+        JOIN dico d ON lower(regexp_replace(m.mention, '\\s|''|-', '', 'g')) = d.alias_norm)
+),
+cases AS (
+  SELECT m.conv_id, CASE WHEN MAX(COALESCE(g.n_groups, 0)) > 1 THEN 'Ok' ELSE 'NoAmbiguity' END AS route
+  FROM (SELECT DISTINCT conv_id, mention FROM mentions) m
+  LEFT JOIN (SELECT conv_id, mention, COUNT(*) AS n_groups FROM candidates GROUP BY 1, 2) g
+    USING (conv_id, mention)
+  GROUP BY 1
+),
+cand_ok AS (SELECT c.* FROM candidates c JOIN cases USING (conv_id) WHERE route = 'Ok'),
+members AS (SELECT conv_id, mention, group_idx, uris, unnest(uris) AS member FROM cand_ok),
+with_base AS (
+  SELECT *, list_filter(uris, u -> contains(u, '{BASE}'))[-1] AS base_uri FROM members
+),
+sameas AS (SELECT subj AS member, obj AS sameas_obj FROM kb_edges WHERE pred = '{SAME_AS}'),
+alias_pairs AS (
+  SELECT DISTINCT conv_id, base_uri, alias FROM (
+    SELECT w.conv_id, w.base_uri, s.sameas_obj AS alias
+    FROM with_base w JOIN sameas s ON w.member = s.member
+    WHERE contains(w.member, '{BASE}')
+    UNION ALL
+    SELECT conv_id, base_uri, member FROM with_base WHERE NOT contains(member, '{BASE}')
+  ) WHERE lower(alias) != lower(base_uri)
+),
+fused_raw AS (
+  SELECT a.conv_id, a.base_uri AS src, k.obj AS dst, k.pred
+  FROM alias_pairs a JOIN kb_edges k ON a.alias = k.subj
+  WHERE k.pred != '{SAME_AS}' AND lower(a.base_uri) != lower(k.obj)
+),
+edges AS (
+  SELECT conv_id, src, dst, MIN(pred) AS pred, 1.0 AS weight FROM fused_raw GROUP BY 1, 2, 3
+),
+colored AS (SELECT DISTINCT conv_id, member AS v FROM members WHERE contains(member, '{BASE}')),
+inv AS (SELECT conv_id, member AS v, MAX(mention) AS inv_mention FROM members GROUP BY 1, 2),
+ends AS (
+  SELECT conv_id, src AS v, dst AS other FROM edges
+  UNION ALL SELECT conv_id, dst, src FROM edges
+),
+bridge AS (
+  SELECT e.conv_id, e.v, COUNT(DISTINCT i.inv_mention) AS n_mentions
+  FROM ends e
+  LEFT JOIN colored cv ON cv.conv_id = e.conv_id AND cv.v = e.v
+  JOIN colored co ON co.conv_id = e.conv_id AND co.v = e.other
+  LEFT JOIN inv i ON i.conv_id = e.conv_id AND i.v = e.other
+  WHERE cv.v IS NULL AND e.v != e.other
+  GROUP BY 1, 2
+),
+survivors AS (
+  SELECT conv_id, v FROM colored UNION SELECT conv_id, v FROM bridge WHERE n_mentions >= 2
+),
+pruned AS (
+  SELECT e.* FROM edges e
+  JOIN survivors s1 ON s1.conv_id = e.conv_id AND s1.v = e.src
+  JOIN survivors s2 ON s2.conv_id = e.conv_id AND s2.v = e.dst
+),
+degrees AS (
+  SELECT conv_id, v, CAST(COUNT(*) AS DOUBLE) AS degree FROM (
+    SELECT conv_id, src AS v FROM pruned UNION ALL SELECT conv_id, dst FROM pruned
+  ) GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.conv_id, m.mention, m.member AS dec, COALESCE(d.degree, 0.0) AS score
+  FROM members m
+  JOIN colored c ON c.conv_id = m.conv_id AND c.v = m.member
+  LEFT JOIN degrees d ON d.conv_id = m.conv_id AND d.v = m.member
+),
+winners AS (
+  SELECT conv_id, mention, dec AS winner, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, mention ORDER BY score DESC, dec DESC) AS rn
+    FROM (SELECT DISTINCT conv_id, mention, dec, score FROM scored)
+  ) WHERE rn = 1
+),
+matching AS (
+  SELECT DISTINCT m.conv_id, m.mention, m.group_idx, m.uris, w.winner, w.score
+  FROM members m JOIN winners w ON w.conv_id = m.conv_id AND w.mention = m.mention AND m.member = w.winner
+),
+graph_chosen AS (
+  SELECT conv_id, mention,
+         COALESCE(list_filter(uris, u -> contains(u, '{BASE}'))[-1], winner) AS chosen_uris,
+         score, 'graph' AS path
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, mention ORDER BY group_idx DESC) AS rn FROM matching)
+  WHERE rn = 1
+),
+simple_chosen AS (
+  SELECT c.conv_id, c.mention, array_to_string(uris, ' ') AS chosen_uris,
+         CAST(NULL AS DOUBLE) AS score, 'simple' AS path
+  FROM candidates c JOIN cases ca USING (conv_id)
+  WHERE ca.route = 'NoAmbiguity' AND group_idx = 0
+),
+links AS (
+  SELECT m.conv_id, m.turn_idx, m.occ_idx, m.mention, ch.chosen_uris, ch.score, ch.path
+  FROM mentions m
+  JOIN (SELECT * FROM graph_chosen UNION ALL SELECT * FROM simple_chosen) ch
+    USING (conv_id, mention)
+),
+eq_edges AS (
+  SELECT subj AS a, obj AS b FROM kb_edges WHERE pred = '{SAME_AS}'
+  UNION
+  SELECT uris[1] AS a, unnest(uris) AS b FROM dico
+),
+sym AS (
+  SELECT a, b FROM eq_edges WHERE a != b
+  UNION SELECT b, a FROM eq_edges WHERE a != b
+),
+reach(v, lab) AS (
+  SELECT v, v FROM (SELECT a AS v FROM sym UNION SELECT b FROM sym)
+  UNION
+  SELECT s.a, r.lab FROM sym s JOIN reach r ON s.b = r.v
+),
+canon AS (SELECT v AS uri, MIN(lab) AS canonical FROM reach GROUP BY 1),
+chosen_flat AS (
+  SELECT conv_id, turn_idx, occ_idx, unnest(string_split(chosen_uris, ' ')) AS uri
+  FROM links WHERE chosen_uris != ''
+),
+canon_chosen AS (
+  SELECT conv_id, turn_idx, occ_idx, MIN(COALESCE(c.canonical, f.uri)) AS entity
+  FROM chosen_flat f LEFT JOIN canon c ON c.uri = f.uri
+  GROUP BY 1, 2, 3
+),
+link_triples AS (
+  SELECT 'urn:mention:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':' || CAST(occ_idx AS VARCHAR) AS subj,
+         'http://kg.test/linksTo' AS pred, entity AS obj
+  FROM canon_chosen
+),
+kbc AS (
+  SELECT COALESCE(cs.canonical, k.subj) AS subj, k.pred, COALESCE(co.canonical, k.obj) AS obj
+  FROM kb_edges k
+  LEFT JOIN canon cs ON cs.uri = k.subj
+  LEFT JOIN canon co ON co.uri = k.obj
+  WHERE k.pred != '{SAME_AS}'
+),
+triples AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT * FROM link_triples
+    UNION ALL
+    SELECT kbc.* FROM kbc JOIN (SELECT DISTINCT entity FROM canon_chosen) e ON kbc.subj = e.entity
+  )
+),
+eval_flags AS (
+  SELECT g.conv_id, g.mention, g.gold_uri,
+         COUNT(c.group_idx) AS n_groups,
+         MAX(CASE WHEN g.gold_uri IS NOT NULL AND c.uris IS NOT NULL
+                  AND len(list_filter(c.uris, u -> contains(lower(u), lower(g.gold_uri)))) > 0
+                  THEN TRUE ELSE FALSE END) AS correct_in_cand
+  FROM (SELECT DISTINCT conv_id, mention, gold_uri FROM gold) g
+  LEFT JOIN candidates c ON c.conv_id = g.conv_id AND c.mention = g.mention
+  GROUP BY 1, 2, 3
+),
+eval_recs AS (
+  SELECT g.conv_id, g.turn_idx, g.occ_idx, g.mention, g.gold_uri,
+         COALESCE(f.n_groups, 0) AS n_groups,
+         COALESCE(f.correct_in_cand, FALSE) AS correct_in_cand,
+         l.chosen_uris,
+         (g.gold_uri IS NOT NULL AND l.chosen_uris IS NOT NULL
+          AND contains(l.chosen_uris, g.gold_uri)) AS choice_correct
+  FROM gold g
+  LEFT JOIN eval_flags f ON f.conv_id = g.conv_id AND f.mention = g.mention
+       AND (f.gold_uri = g.gold_uri OR (f.gold_uri IS NULL AND g.gold_uri IS NULL))
+  LEFT JOIN links l ON l.conv_id = g.conv_id AND l.turn_idx = g.turn_idx AND l.occ_idx = g.occ_idx
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql() registries
+# ---------------------------------------------------------------------------
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _kg_stack(spark, sf_dir)
+    return s["mentions"].select("conv_id", "turn_idx", "occ_idx", "mention", "start_pos")
+
+
+O_KG_MENTIONS = SQL_PREFIX + "SELECT conv_id, turn_idx, occ_idx, mention, start_pos FROM mentions"
+
+
+def q_kg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _kg_stack(spark, sf_dir)
+    return s["candidates"].select(
+        "conv_id", "mention", "group_idx", F.concat_ws(" ", "uris").alias("uris_joined")
+    )
+
+
+O_KG_CANDIDATES = (
+    SQL_PREFIX
+    + "SELECT conv_id, mention, group_idx, array_to_string(uris, ' ') AS uris_joined FROM candidates"
+)
+
+
+def q_kg_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _kg_stack(spark, sf_dir)
+    return s["cases"].select("conv_id", F.col("case").alias("route"))
+
+
+O_KG_CASES = SQL_PREFIX + "SELECT conv_id, route FROM cases"
+
+
+def q_kg_fused_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _kg_stack(spark, sf_dir)
+    ok = s["cases"].filter(F.col("case") == "Ok").select("conv_id")
+    cand_ok = s["candidates"].join(ok, "conv_id", "left_semi")
+    return fuse_edges(cand_ok, s["kb_edges"], s["rel_weights"], CFG)
+
+
+O_KG_FUSED_EDGES = SQL_PREFIX + "SELECT conv_id, src, dst, pred, weight FROM edges"
+
+
+def q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _kg_stack(spark, sf_dir)
+    ok = s["cases"].filter(F.col("case") == "Ok").select("conv_id")
+    cand_ok = s["candidates"].join(ok, "conv_id", "left_semi")
+    edges = fuse_edges(cand_ok, s["kb_edges"], s["rel_weights"], CFG)
+    return prune_and_degree(edges, cand_ok, CFG)
+
+
+O_KG_DEGREES = SQL_PREFIX + "SELECT conv_id, v, degree FROM degrees"
+
+
+def _links(spark: SparkSession, sf_dir: str, grouped: bool = False) -> DataFrame:
+    s = _kg_stack(spark, sf_dir)
+    if grouped:
+        from .operators.grouped import disambiguate_grouped
+
+        return disambiguate_grouped(
+            s["mentions"], s["candidates"], s["kb_edges"], s["rel_weights"], s["cases"], CFG
+        )
+    return disambiguate_relational(
+        s["mentions"], s["candidates"], s["kb_edges"], s["rel_weights"], s["cases"], CFG
+    )
+
+
+def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _links(spark, sf_dir).select(
+        "conv_id", "turn_idx", "occ_idx", "mention", "chosen_uris", "score", "path"
+    )
+
+
+O_KG_LINKS = (
+    SQL_PREFIX
+    + "SELECT conv_id, turn_idx, occ_idx, mention, chosen_uris, score, path FROM links"
+)
+
+
+def q_kg_links_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _links(spark, sf_dir, grouped=True).select(
+        "conv_id", "turn_idx", "occ_idx", "mention", "chosen_uris", "score", "path"
+    )
+
+
+def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _kg_stack(spark, sf_dir)
+    return connected_components(sameas_edge_frame(s["kb_edges"], s["dico"]))
+
+
+O_KG_CANONICAL = SQL_PREFIX + "SELECT uri, canonical FROM canon"
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _kg_stack(spark, sf_dir)
+    links = _links(spark, sf_dir)
+    return materialize_triples(links, s["kb_edges"], s["dico"])
+
+
+O_KG_TRIPLES = SQL_PREFIX + "SELECT subj, pred, obj FROM triples"
+
+
+_RATIOS = [
+    "candidate_cardinality_mean",
+    "candidate_precision",
+    "candidate_recall",
+    "nil_precision",
+    "nil_recall",
+    "disambiguation_accuracy",
+    "overall_linking_accuracy",
+]
+
+
+def q_kg_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _kg_stack(spark, sf_dir)
+    links = _links(spark, sf_dir)
+    gold = derive_gold(spark, sf_dir)
+    m = hachey_metrics(eval_records(gold, links, s["candidates"]))
+    return m.select(
+        "nb_mentions",
+        "nb_manual",
+        "nb_nil",
+        *[F.round(F.coalesce(F.col(c), F.lit(-1.0)), 6).alias(c) for c in _RATIOS],
+    )
+
+
+O_KG_EVAL_METRICS = (
+    SQL_PREFIX
+    + """
+SELECT COUNT(*) AS nb_mentions,
+       COUNT(CASE WHEN gold_uri IS NOT NULL THEN 1 END) AS nb_manual,
+       COUNT(CASE WHEN gold_uri IS NULL THEN 1 END) AS nb_nil,
+       round(COALESCE(SUM(CASE WHEN n_groups > 0 THEN n_groups ELSE 0 END)::DOUBLE / COUNT(*), -1.0), 6) AS candidate_cardinality_mean,
+       round(COALESCE(SUM(CASE WHEN n_groups > 0 AND correct_in_cand THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(SUM(CASE WHEN n_groups > 0 THEN 1 ELSE 0 END), 0), -1.0), 6) AS candidate_precision,
+       round(COALESCE(SUM(CASE WHEN gold_uri IS NOT NULL AND correct_in_cand THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(SUM(CASE WHEN gold_uri IS NOT NULL THEN 1 ELSE 0 END), 0), -1.0), 6) AS candidate_recall,
+       round(COALESCE(SUM(CASE WHEN n_groups = 0 AND gold_uri IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(SUM(CASE WHEN n_groups = 0 THEN 1 ELSE 0 END), 0), -1.0), 6) AS nil_precision,
+       round(COALESCE(SUM(CASE WHEN n_groups = 0 AND gold_uri IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(SUM(CASE WHEN gold_uri IS NULL THEN 1 ELSE 0 END), 0), -1.0), 6) AS nil_recall,
+       round(COALESCE(SUM(CASE WHEN n_groups > 1 AND correct_in_cand AND choice_correct THEN 1 ELSE 0 END)::DOUBLE
+             / NULLIF(SUM(CASE WHEN n_groups > 1 AND correct_in_cand THEN 1 ELSE 0 END), 0), -1.0), 6) AS disambiguation_accuracy,
+       round((SUM(CASE WHEN gold_uri IS NOT NULL AND choice_correct THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN n_groups = 0 AND gold_uri IS NULL AND chosen_uris IS NULL THEN 1 ELSE 0 END))::DOUBLE
+             / COUNT(*), 6) AS overall_linking_accuracy
+FROM eval_recs
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data extras (documents/embeddings are pre-registered DuckDB views)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+O_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g'))) AS content_key,
+       count(*) AS n_copies
+FROM documents GROUP BY 2
+"""
+
+_DUCK_SHINGLES = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [array_to_string(list_slice(words, i, i + {nm1}), ' ')
+            for i in generate_series(1, greatest(len(words) - {nm1}, 0))])) AS shingles
+  FROM toks
+)
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), 12, 3, 4, 0.5)
+
+
+O_DEDUP_MINHASH = (
+    _DUCK_SHINGLES.format(nm1=2)
+    + """
+, sig AS (
+  SELECT doc_id, shingles,
+         [list_min([md5(h::VARCHAR || '|' || s) FOR s IN shingles]) FOR h IN range(0, 12)] AS sig
+  FROM sh WHERE len(shingles) > 0
+), banded AS (
+  SELECT doc_id, shingles, unnest(
+    [md5(b::VARCHAR || '#' || array_to_string(list_slice(sig, b*3+1, b*3+3), '')) FOR b IN range(0, 4)]
+  ) AS band_key FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sh_a, b.shingles AS sh_b
+  FROM banded a JOIN banded b USING (band_key) WHERE a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+               (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+  FROM pairs
+) WHERE jaccard >= 0.5
+"""
+)
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), 3, 0.8)
+
+
+O_DEDUP_NGRAM = (
+    _DUCK_SHINGLES.format(nm1=2)
+    + """
+, keyed AS (
+  SELECT doc_id, shingles, list_min([md5(s) FOR s IN shingles]) AS block
+  FROM sh WHERE len(shingles) > 0
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sh_a, b.shingles AS sh_b
+  FROM keyed a JOIN keyed b USING (block) WHERE a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+               (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+  FROM pairs
+) WHERE jaccard >= 0.8
+"""
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bit-level xxhash64 votes are Spark-specific: rows-only check (no oracle)
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_read(spark, sf_dir, "documents"), 2, 12)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    return cosine_topk(_read(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
+
+O_ANN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(qv, e.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+           (sqrt(list_sum([ (x::DOUBLE)*(x::DOUBLE) FOR x IN qv ])) *
+            sqrt(list_sum([ (x::DOUBLE)*(x::DOUBLE) FOR x IN e.embedding ]))), 6) AS sim
+  FROM q, embeddings e WHERE e.vec_id != q.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # numpy hyperplane buckets: rows-only check (no SQL oracle)
+    from .operators.similarity import lsh_topk
+
+    return lsh_topk(_read(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_planes=4)
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import token_count
+
+    return token_count(_read(spark, sf_dir, "documents"))
+
+
+O_TEXT_TOKEN_COUNT = """
+SELECT doc_id,
+       len(string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' '))::INT AS n_words,
+       ceil(length(text) / 4)::INT AS n_subwords_est
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+_ALL_STOPWORDS_SQL = "('a','and','das','de','der','die','el','est','et','ein','in','is','ist','la','le','of','the','to','un','una','une','und','y','zu','es')"
+
+O_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks)::INT AS n_words,
+         len(list_filter(toks, t -> t IN {_ALL_STOPWORDS_SQL})) AS stop_hits,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct,
+         length(text) AS n_chars
+  FROM t
+)
+SELECT doc_id, n_words,
+       round(stop_hits::DOUBLE / greatest(n_words, 1), 6) AS stopword_ratio,
+       round(punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(0.4 * (stop_hits::DOUBLE / greatest(n_words, 1))
+           + 0.3 * least(n_words::DOUBLE / 100.0, 1.0)
+           + 0.3 * (1.0 - punct::DOUBLE / greatest(n_chars, 1)), 6) AS quality
+FROM m
+"""
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import language_id
+
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+O_TEXT_LANGUAGE_ID = """
+WITH t AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang, CAST(CASE lang
+           WHEN 'de' THEN len(list_filter(toks, x -> x IN ('der','die','das','und','ein','ist','zu')))
+           WHEN 'en' THEN len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is')))
+           WHEN 'es' THEN len(list_filter(toks, x -> x IN ('el','la','y','de','un','una','es')))
+           WHEN 'fr' THEN len(list_filter(toks, x -> x IN ('le','la','et','de','un','une','est')))
+         END AS INTEGER) AS n
+  FROM t, (SELECT unnest(['de','en','es','fr']) AS lang)
+), best AS (
+  SELECT doc_id, lang, n FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rn FROM hits
+  ) WHERE rn = 1
+)
+SELECT doc_id, CASE WHEN n > 0 THEN lang ELSE 'und' END AS lang_pred, n AS lang_hits FROM best
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents"), 5)
+
+
+O_TEXT_FINGERPRINT = (
+    _DUCK_SHINGLES.format(nm1=4)
+    + """
+SELECT s.doc_id,
+       md5(trim(regexp_replace(lower(d.text), '\\W+', ' ', 'g'))) AS content_md5,
+       CASE WHEN len(s.shingles) > 0 THEN list_min([md5(x) FOR x IN s.shingles]) END AS min_shingle_md5
+FROM sh s JOIN documents d USING (doc_id)
+"""
+)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary payload plumbing through mapInPandas: rows-only check (no oracle)
+    from .operators.multimodal import attach_fake_media, extract_features
+
+    return extract_features(attach_fake_media(_read(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Generic relational operators (scan/filter pushdown, join, agg, window)
+# ---------------------------------------------------------------------------
+
+
+def q_rel_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+
+
+O_REL_PUSHDOWN_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS n_parts,
+       round(avg(l_discount), 4) AS avg_disc
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2
+"""
+
+
+def q_rel_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    counts = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    w = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    top = counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    return top.join(F.broadcast(c), top.o_custkey == c.c_custkey).select(
+        "rnk", "c_custkey", "c_mktsegment", "n_orders"
+    )
+
+
+O_REL_JOIN_TOPK = """
+WITH counts AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+top AS (
+  SELECT *, row_number() OVER (ORDER BY n_orders DESC, o_custkey ASC) AS rnk FROM counts
+)
+SELECT rnk, c_custkey, c_mktsegment, n_orders
+FROM top JOIN customer ON o_custkey = c_custkey WHERE rnk <= 10
+"""
+
+
+def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.withColumn("prev_ts", prev)
+        .withColumn("gap_s", F.expr("timestampdiff(SECOND, prev_ts, ts)"))
+        .withColumn("new_sess", F.when(F.col("prev_ts").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+O_REL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-build job over a derived person table
+# ---------------------------------------------------------------------------
+
+
+def q_dico_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.dico_build import build_dico
+
+    c = _read(spark, sf_dir, "customer")
+    persons = c.select(
+        F.concat(F.lit("http://kb.test/person/"), F.col("c_custkey").cast("string")).alias("uri"),
+        F.concat(F.lit("Jean"), (F.col("c_custkey") % 7).cast("string")).alias("first_name"),
+        F.concat(F.lit("Martin"), F.col("c_custkey").cast("string")).alias("last_name"),
+        F.when(F.col("c_custkey") % 2 == 0, "male").otherwise("female").alias("gender"),
+        (F.lit(1800) + F.col("c_custkey") % 100).cast("string").alias("birth_date"),
+        (F.lit(1850) + F.col("c_custkey") % 100).cast("string").alias("death_date"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("http://ext.kb/person/"), F.col("c_custkey").cast("string")),
+        ).alias("ref"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(F.lit("Rejected"), F.col("c_custkey").cast("string")),
+        ).alias("rejected_form"),
+    )
+    d = build_dico(persons, greater_than=1820, lesser_than=1880)
+    return d.select("alias", "alias_norm", "name", "letter", F.concat_ws(" ", "uris").alias("uris_joined"))
+
+
+O_DICO_BUILD = """
+WITH persons AS (
+  SELECT 'http://kb.test/person/' || CAST(c_custkey AS VARCHAR) AS uri,
+         'Jean' || CAST(c_custkey % 7 AS VARCHAR) AS first_name,
+         'Martin' || CAST(c_custkey AS VARCHAR) AS last_name,
+         CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'Mme' END AS title,
+         CAST(1800 + c_custkey % 100 AS VARCHAR) AS birth_date,
+         CAST(1850 + c_custkey % 100 AS VARCHAR) AS death_date,
+         CASE WHEN c_custkey % 3 = 0 THEN 'http://ext.kb/person/' || CAST(c_custkey AS VARCHAR) END AS ref,
+         CASE WHEN c_custkey % 4 = 0 THEN 'Rejected' || CAST(c_custkey AS VARCHAR) END AS rejected_form,
+         1800 + c_custkey % 100 AS birth_year
+  FROM customer
+), filtered AS (
+  SELECT * FROM persons WHERE birth_year > 1820 AND birth_year < 1880
+), exploded AS (
+  SELECT unnest(list_distinct(
+           [first_name || ' ' || last_name,
+            last_name,
+            title || ' ' || last_name,
+            title || '. ' || last_name,
+            title || ' ' || first_name || ' ' || last_name,
+            title || '. ' || first_name || ' ' || last_name,
+            'J ' || last_name,
+            'J. ' || last_name] ||
+           CASE WHEN rejected_form IS NOT NULL THEN [rejected_form] ELSE [] END
+         )) AS alias,
+         last_name || ', ' || first_name || ' (' || birth_date || '-' || death_date || ')' AS name,
+         lower(substring(last_name, 1, 1)) AS letter,
+         uri || CASE WHEN ref IS NOT NULL THEN ' ' || ref ELSE '' END AS uris_joined
+  FROM filtered
+)
+SELECT alias, lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm, name, letter, uris_joined
+FROM exploded WHERE alias != ''
+"""
+
+
+QUERIES = {
+    "kg_mentions": q_kg_mentions,
+    "kg_candidates": q_kg_candidates,
+    "kg_conversation_cases": q_kg_cases,
+    "kg_fused_edges": q_kg_fused_edges,
+    "kg_pruned_degrees": q_kg_degrees,
+    "kg_links": q_kg_links,
+    "kg_links_grouped": q_kg_links_grouped,
+    "kg_canonical_components": q_kg_canonical,
+    "kg_triples": q_kg_triples,
+    "kg_eval_metrics": q_kg_eval_metrics,
+    "dico_build": q_dico_build,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_language_id": q_text_language_id,
+    "text_fingerprint": q_text_fingerprint,
+    "media_features": q_media_features,
+    "rel_pushdown_agg": q_rel_pushdown_agg,
+    "rel_join_topk": q_rel_join_topk,
+    "rel_sessionize": q_rel_sessionize,
+}
+
+ORACLES = {
+    "kg_mentions": O_KG_MENTIONS,
+    "kg_candidates": O_KG_CANDIDATES,
+    "kg_conversation_cases": O_KG_CASES,
+    "kg_fused_edges": O_KG_FUSED_EDGES,
+    "kg_pruned_degrees": O_KG_DEGREES,
+    "kg_links": O_KG_LINKS,
+    "kg_links_grouped": O_KG_LINKS,  # the grouped variant must match the same oracle
+    "kg_canonical_components": O_KG_CANONICAL,
+    "kg_triples": O_KG_TRIPLES,
+    "kg_eval_metrics": O_KG_EVAL_METRICS,
+    "dico_build": O_DICO_BUILD,
+    "dedup_exact": O_DEDUP_EXACT,
+    "dedup_minhash_lsh": O_DEDUP_MINHASH,
+    "dedup_ngram_jaccard": O_DEDUP_NGRAM,
+    # dedup_simhash / ann_lsh_topk / media_features: engine-specific internals,
+    # intentionally rows-only (no SQL oracle)
+    "ann_cosine_topk": O_ANN_COSINE,
+    "text_token_count": O_TEXT_TOKEN_COUNT,
+    "text_quality": O_TEXT_QUALITY,
+    "text_language_id": O_TEXT_LANGUAGE_ID,
+    "text_fingerprint": O_TEXT_FINGERPRINT,
+    "rel_pushdown_agg": O_REL_PUSHDOWN_AGG,
+    "rel_join_topk": O_REL_JOIN_TOPK,
+    "rel_sessionize": O_REL_SESSIONIZE,
+}

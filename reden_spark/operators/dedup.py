@@ -1,0 +1,174 @@
+"""Deduplication operators over the `documents` table — the training-data-pipeline
+extensions (task brief): exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Engine-portability note: hash primitives are md5 hex strings (identical in Spark
+and DuckDB), so every operator except SimHash has an exact DuckDB oracle; min/max
+over hex strings is lexicographic and deterministic. All operators are pure
+DataFrame expressions (whole-stage codegen; no Python in the hot path).
+
+Scale notes:
+  * exact dedup = one hash-shuffle on the content key;
+  * MinHash/LSH: signatures are embarrassingly parallel; the only shuffle is the
+    band-bucket join (self-join on band_key, quadratic ONLY within a bucket —
+    that is the point of banding); at 100 TB add a bucket-size cap / salting on
+    hot bands before the pair join;
+  * n-gram Jaccard is blocked (same band) before any pairwise work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_text(col):
+    """lowercase, collapse non-word runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\W+", " "))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the min doc_id per normalized-content md5 (hash-groupBy dedup)."""
+    return (
+        docs.withColumn("content_key", F.md5(norm_text(F.col("text"))))
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "content_key", "n_copies")
+    )
+
+
+def word_shingles(col, n: int):
+    """Word n-gram shingles of the `text` column as array<string> (distinct,
+    sorted). Expressed as a SQL lambda chain so the DuckDB oracle can mirror the
+    exact same formula."""
+    del col  # shingles always read the `text` column (SQL-parity formula below)
+    words = "split(trim(regexp_replace(lower(text), '\\\\W+', ' ')), ' ')"
+    # NB: Spark's sequence(1, 0) is DESCENDING (not empty) — guard short texts.
+    grams = F.expr(
+        f"case when size({words}) >= {n} then "
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> array_join(slice({words}, i, {n}), ' ')) "
+        f"else array() end"
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 12, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig array<string>): sig[h] = min over shingles of md5(h||'|'||shingle).
+
+    Classic shingle->minhash; empty-shingle docs get null sig and are excluded.
+    """
+    sh = docs.select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    sig = F.expr(
+        f"transform(sequence(0, {n_hashes - 1}), "
+        f"h -> array_min(transform(shingles, s -> md5(concat(cast(h as string), '|', s)))))"
+    )
+    return sh.select("doc_id", "shingles", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 12,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, verified with exact Jaccard.
+
+    rows-per-band r = n_hashes/bands; candidates = docs sharing any band key;
+    output (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+    """
+    r = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> md5(concat(cast(b as string), '#', array_join(slice(sig, b*{r}+1, {r}), ''))))"
+            )
+        ).alias("band_key"),
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "band_key")
+    right = banded.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "band_key")
+    pairs = (
+        left.join(right, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs, blocked by the min shingle hash
+    (documents sharing no shingle can't reach any threshold > 0)."""
+    sh = docs.select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    keyed = sh.withColumn("block", F.expr("array_min(transform(shingles, s -> md5(s)))"))
+    left = keyed.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "block")
+    right = keyed.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "block")
+    pairs = left.join(right, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .distinct()
+    )
+
+
+def simhash64(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
+    """64-bit SimHash per document (Spark-native xxhash64 bit votes; no SQL oracle —
+    bit-level ops are engine-specific, recorded as a rows-only check)."""
+    sh = docs.select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    tokens = sh.select("doc_id", F.explode("shingles").alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    bits = tokens.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).withColumn("vote", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"))
+    agg = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return agg.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")).alias(
+            "simhash"
+        )
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, shingle_n: int = 2, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup candidates: block on 16-bit chunks (two docs within
+    hamming distance <= 3 chunks share at least one exact chunk), verify with
+    bit_count of xor."""
+    h = simhash64(docs, shingle_n)
+    chunks = h.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+    ).withColumn("chunk_val", F.expr("shiftright(simhash, c * 16) & 65535"))
+    left = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "c", "chunk_val")
+    right = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "c", "chunk_val")
+    pairs = (
+        left.join(right, ["c", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,112 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+* :func:`cosine_topk` — exact brute-force top-k neighbors for a query set,
+  expressed with built-in higher-order functions (zip_with + aggregate — stays
+  JVM-side, no Python). Baseline path; O(|Q| x |corpus|) but fully distributed
+  (broadcast the query side).
+* :func:`lsh_topk` — the scale path: random-hyperplane (sign) LSH buckets via a
+  vectorized pandas UDF over Arrow batches; only same-bucket pairs are scored.
+  Recall < 1 by construction; tests measure it against the exact baseline.
+
+Outputs carry (rank, neighbor) rather than raw float scores so cross-engine
+comparisons (DuckDB oracle) are immune to last-ulp float drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact top-k by cosine: (query_id, rank, neighbor_id). Self-matches excluded;
+    ties broken by neighbor_id ascending (deterministic)."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 7):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(IntegerType())
+    def bucket(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        signs = (mat @ planes.T) > 0
+        vals = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        return pd.Series(vals.astype(np.int32))
+
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = 6, seed: int = 7
+) -> DataFrame:
+    """Approximate top-k: score only within the query's hyperplane-sign bucket."""
+    dim = len(embeddings.select("embedding").first()[0])
+    bucket = lsh_bucket_udf(dim, n_planes, seed)
+    e = embeddings.withColumn("bucket", bucket(F.col("embedding")))
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def pairwise_dup_candidates(embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking (the embedding twin
+    of dedup.minhash_lsh_pairs)."""
+    dim = len(embeddings.select("embedding").first()[0])
+    bucket = lsh_bucket_udf(dim, n_planes)
+    e = embeddings.withColumn("bucket", bucket(F.col("embedding")))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,87 @@
+"""Structured-Streaming ingestion of transcript turns (SURVEY.md §2.6).
+
+The reference is strictly batch (MainNELApp.java:184-199) and so is the north
+rule; this module is the forward path for continuously-arriving transcripts:
+
+    readStream(parquet dir) -> mention detection (same pandas UDF as batch)
+      -> broadcast candidate join -> append sink (mentions/candidates tables)
+
+plus a watermarked sliding-window mention-rate aggregate for monitoring. The
+per-conversation graph stage stays batch (it needs the whole conversation; a
+session_window + applyInPandasWithState variant is the eventual streaming shape
+but conversations in the fixtures close quickly, so batch-over-checkpoint is the
+honest design here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.candidates import generate_candidates
+from ..operators.mentions import detect_mentions
+
+
+def stream_transcripts(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_mentions(turns_stream: DataFrame, terms: DataFrame) -> DataFrame:
+    """Streaming mention detection — identical operator, streaming plan.
+    (detect_mentions' occ_idx window is batch-only, so the stream emits
+    (conv_id, turn_idx, mention, start_pos); occ_idx is assigned at compaction.)
+    """
+    spark = terms.sparkSession
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+    from ..operators.mentions import _matcher_for
+
+    term_list = [r[0] for r in terms.select("term").distinct().collect()]
+    bc = spark.sparkContext.broadcast(term_list)
+    match_type = ArrayType(
+        StructType([StructField("mention", StringType()), StructField("start_pos", IntegerType())])
+    )
+
+    @F.pandas_udf(match_type)
+    def find_all(texts: pd.Series) -> pd.Series:
+        matcher = _matcher_for(bc)
+        return texts.map(lambda t: [{"mention": m, "start_pos": s} for m, s in matcher.find(t or "")])
+
+    return turns_stream.select(
+        "conv_id", "turn_idx", "ts", F.explode(find_all(F.col("text"))).alias("m")
+    ).select("conv_id", "turn_idx", "ts", F.col("m.mention").alias("mention"), F.col("m.start_pos").alias("start_pos"))
+
+
+def stream_candidates(mentions_stream: DataFrame, dico: DataFrame) -> DataFrame:
+    """Streaming candidate generation: stream-static broadcast join on alias_norm."""
+    from ..functions.text import normalize_mention
+
+    d = F.broadcast(dico.select("alias_norm", "uris").distinct())
+    return (
+        mentions_stream.withColumn("alias_norm", normalize_mention("mention"))
+        .join(d, "alias_norm", "left")
+        .select("conv_id", "turn_idx", "ts", "mention", "uris")
+    )
+
+
+def mention_rate(mentions_stream: DataFrame, window: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """Watermarked windowed mention counts (late data tolerated up to 1 hour)."""
+    return (
+        mentions_stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window, slide), F.col("mention"))
+        .count()
+    )
+
+
+def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
+    """Drain everything currently available into a parquet sink and stop."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

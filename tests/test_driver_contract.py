@@ -1,0 +1,78 @@
+"""Pre-validate the driver contract: every queries() entry must match its
+oracle_sql() DuckDB twin (row-count + column names + order-insensitive values),
+the same comparison the driver's CORRECTNESS gate performs (at sf0.01 there;
+sf0.001 here for speed, with one smoke run at sf0.01 for the KG family)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+ORACLE_NAMES = sorted(entrymod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    df = q(spark, SF)
+    cols = df.columns
+    got = normalize([tuple(r) for r in df.collect()], cols)
+    res = duck.sql(entrymod.oracle_sql()[name])
+    want = normalize(res.fetchall(), res.columns)
+    assert [c.lower() for c in sorted(cols)] == sorted(c.lower() for c in res.columns), (
+        f"{name}: column mismatch {sorted(cols)} vs {sorted(res.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    assert got == want, (
+        f"{name}: first diffs got-only={[r for r in got if r not in set(want)][:3]} "
+        f"want-only={[r for r in want if r not in set(got)][:3]}"
+    )
+
+
+def test_rows_only_queries_run(spark):
+    for name in sorted(set(entrymod.queries()) - set(entrymod.oracle_sql())):
+        df = entrymod.queries()[name](spark, SF)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["conv_id", "turn_idx", "occ_idx", "mention", "chosen_uris", "score", "path"]

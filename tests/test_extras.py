@@ -1,0 +1,213 @@
+"""Training-data-pipeline extras vs local DuckDB oracles on the driver testdata."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')")
+    return con
+
+
+def test_exact_dedup_vs_duckdb(docs, duck):
+    from reden_spark.operators.dedup import exact_dedup
+
+    got = {(r.doc_id, r.content_key, r.n_copies) for r in exact_dedup(docs).collect()}
+    want = {
+        tuple(r)
+        for r in duck.sql(
+            """
+            SELECT min(doc_id) AS doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g'))) AS content_key,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 2
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+DUCK_SHINGLES = (
+    "list_sort(list_distinct([array_to_string(words[i:i+{nm1}], ' ') "
+    "for i in range(1, greatest(len(words) - {nm1}, 0) + 1)]))"
+)
+
+
+def _duck_shingle_cte(n):
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               [array_to_string(list_slice(words, i, i + {n - 1}), ' ')
+                for i in generate_series(1, greatest(len(words) - {n - 1}, 0))])) AS shingles
+      FROM toks
+    )
+    """
+
+
+def test_minhash_lsh_pairs_vs_duckdb(docs, duck):
+    from reden_spark.operators.dedup import minhash_lsh_pairs
+
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in minhash_lsh_pairs(docs, 12, 3, 4, 0.5).collect()}
+    want = {
+        tuple(r)
+        for r in duck.sql(
+            _duck_shingle_cte(3)
+            + """
+            , sig AS (
+              SELECT doc_id, shingles,
+                     [list_min([md5(h::VARCHAR || '|' || s) FOR s IN shingles]) FOR h IN range(0, 12)] AS sig
+              FROM sh WHERE len(shingles) > 0
+            ), banded AS (
+              SELECT doc_id, shingles, unnest(
+                [md5(b::VARCHAR || '#' || array_to_string(list_slice(sig, b*3+1, b*3+3), '')) FOR b IN range(0, 4)]
+              ) AS band_key FROM sig
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sh_a, b.shingles AS sh_b
+              FROM banded a JOIN banded b USING (band_key) WHERE a.doc_id < b.doc_id
+            )
+            SELECT * FROM (
+              SELECT doc_a, doc_b,
+                     round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+                           (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+              FROM pairs
+            ) WHERE jaccard >= 0.5
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_token_count_and_quality_vs_duckdb(docs, duck):
+    from reden_spark.operators.textstats import quality_score, token_count
+
+    got = {tuple(r) for r in token_count(docs).collect()}
+    want = {
+        tuple(r)
+        for r in duck.sql(
+            """
+            SELECT doc_id,
+                   len(string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' '))::INT AS n_words,
+                   ceil(length(text) / 4)::INT AS n_subwords_est
+            FROM documents
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+    got_q = {(r.doc_id, r.n_words, r.stopword_ratio, r.punct_ratio, r.quality) for r in quality_score(docs).collect()}
+    want_q = {
+        tuple(r)
+        for r in duck.sql(
+            """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(toks)::INT AS n_words,
+                     len(list_filter(toks, t -> t IN ('a','and','das','de','der','die','el','est','et','ein','in','is','ist','la','le','of','the','to','un','una','une','und','y','zu','es'))) AS stop_hits,
+                     length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct,
+                     length(text) AS n_chars
+              FROM t
+            )
+            SELECT doc_id, n_words,
+                   round(stop_hits::DOUBLE / greatest(n_words, 1), 6) AS stopword_ratio,
+                   round(punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+                   round(0.4 * (stop_hits::DOUBLE / greatest(n_words, 1))
+                       + 0.3 * least(n_words::DOUBLE / 100.0, 1.0)
+                       + 0.3 * (1.0 - punct::DOUBLE / greatest(n_chars, 1)), 6) AS quality
+            FROM m
+            """
+        ).fetchall()
+    }
+    assert got_q == want_q
+
+
+def test_language_id(docs, duck):
+    from reden_spark.operators.textstats import language_id
+
+    rows = language_id(docs).collect()
+    assert len(rows) == docs.count()
+    assert {r.lang_pred for r in rows} <= {"en", "fr", "es", "de", "und"}
+
+
+def test_cosine_topk_vs_duckdb(emb, duck):
+    from reden_spark.operators.similarity import cosine_topk
+
+    qids = [0, 1, 2]
+    got = {(r.query_id, r.rank, r.neighbor_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    want = {
+        tuple(r)
+        for r in duck.sql(
+            """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2)),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(
+                       list_sum(list_transform(list_zip(qv, e.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+                       (sqrt(list_sum([ (x::DOUBLE)*(x::DOUBLE) FOR x IN qv ])) *
+                        sqrt(list_sum([ (x::DOUBLE)*(x::DOUBLE) FOR x IN e.embedding ]))), 6) AS sim
+              FROM q, embeddings e WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_lsh_topk_recall(emb):
+    from reden_spark.operators.similarity import cosine_topk, lsh_topk
+
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, qids, k=5, n_planes=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.2  # LSH with few planes: sanity floor, exactness not expected
+
+
+def test_multimodal_plumbing(spark, docs):
+    from reden_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_media,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    media = attach_fake_media(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == docs.count()
+    by_id = {f.doc_id: f for f in feats}
+    assert all(f.n_bytes == 16 for f in feats)  # md5 payload
+    first = media.filter(F.col("doc_id") == feats[0].doc_id).first()
+    assert by_id[first.doc_id].payload_md5 is not None
+    frames = frame_sample_plan(media, every_ms=5000)
+    assert frames.count() > 0
+    with pytest.raises(NotImplementedError):
+        decode_media(b"x", "image")
