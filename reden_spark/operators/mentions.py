@@ -56,9 +56,11 @@ def _matcher_for(bc) -> GazetteerMatcher:
     return matcher
 
 
-def detect_mentions(turns: DataFrame, terms: DataFrame) -> DataFrame:
-    """transcripts x mention_terms -> MENTIONS schema (production pandas-UDF path)."""
-    spark = turns.sparkSession
+def mention_finder_udf(terms: DataFrame):
+    """Build the Arrow-batched gazetteer UDF (shared by batch and streaming paths).
+    The term list ships once per executor via broadcast; the compiled regex is
+    cached per worker process."""
+    spark = terms.sparkSession
     term_list = [r[0] for r in terms.select("term").distinct().collect()]
     bc = spark.sparkContext.broadcast(term_list)
 
@@ -67,6 +69,12 @@ def detect_mentions(turns: DataFrame, terms: DataFrame) -> DataFrame:
         matcher = _matcher_for(bc)
         return texts.map(lambda t: [{"mention": m, "start_pos": s} for m, s in matcher.find(t or "")])
 
+    return find_all
+
+
+def detect_mentions(turns: DataFrame, terms: DataFrame) -> DataFrame:
+    """transcripts x mention_terms -> MENTIONS schema (production pandas-UDF path)."""
+    find_all = mention_finder_udf(terms)
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("start_pos")
     return (
         turns.select("conv_id", "turn_idx", F.explode(find_all(F.col("text"))).alias("m"))

@@ -31,23 +31,9 @@ def stream_mentions(turns_stream: DataFrame, terms: DataFrame) -> DataFrame:
     (detect_mentions' occ_idx window is batch-only, so the stream emits
     (conv_id, turn_idx, mention, start_pos); occ_idx is assigned at compaction.)
     """
-    spark = terms.sparkSession
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+    from ..operators.mentions import mention_finder_udf
 
-    from ..operators.mentions import _matcher_for
-
-    term_list = [r[0] for r in terms.select("term").distinct().collect()]
-    bc = spark.sparkContext.broadcast(term_list)
-    match_type = ArrayType(
-        StructType([StructField("mention", StringType()), StructField("start_pos", IntegerType())])
-    )
-
-    @F.pandas_udf(match_type)
-    def find_all(texts: pd.Series) -> pd.Series:
-        matcher = _matcher_for(bc)
-        return texts.map(lambda t: [{"mention": m, "start_pos": s} for m, s in matcher.find(t or "")])
-
+    find_all = mention_finder_udf(terms)
     return turns_stream.select(
         "conv_id", "turn_idx", "ts", F.explode(find_all(F.col("text"))).alias("m")
     ).select("conv_id", "turn_idx", "ts", F.col("m.mention").alias("mention"), F.col("m.start_pos").alias("start_pos"))

@@ -6,7 +6,12 @@ from reden_spark.streaming.ingest import run_available_now, stream_mentions, str
 
 
 def test_stream_mentions_equals_batch(spark, tables, fixture_dir, tmp_path):
-    stream = stream_transcripts(spark, str(fixture_dir / "transcripts.parquet"), schemas.TRANSCRIPTS)
+    import shutil
+
+    src_dir = tmp_path / "stream_in"  # file streams read directories
+    src_dir.mkdir()
+    shutil.copy(fixture_dir / "transcripts.parquet", src_dir / "part-0.parquet")
+    stream = stream_transcripts(spark, str(src_dir), schemas.TRANSCRIPTS)
     assert stream.isStreaming
     out = str(tmp_path / "stream_out")
     ckpt = str(tmp_path / "ckpt")
