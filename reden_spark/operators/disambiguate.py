@@ -259,6 +259,9 @@ def disambiguate(
     simple_chosen = simple_links(cand_simple).withColumn("path", F.lit("simple"))
     chosen = graph_chosen.unionByName(simple_chosen)
 
+    # chosen is (conv, distinct-mention)-grain — much smaller than the occurrence
+    # table but unbounded at 10^12-turn scale, so no forced broadcast: AQE
+    # converts this to a broadcast join at runtime whenever it is actually small.
     return (
         mentions.select("conv_id", "turn_idx", "occ_idx", "mention")
         .join(chosen, ["conv_id", "mention"], "inner")

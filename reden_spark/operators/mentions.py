@@ -73,14 +73,22 @@ def mention_finder_udf(terms: DataFrame):
 
 
 def detect_mentions(turns: DataFrame, terms: DataFrame) -> DataFrame:
-    """transcripts x mention_terms -> MENTIONS schema (production pandas-UDF path)."""
+    """transcripts x mention_terms -> MENTIONS schema (production pandas-UDF path).
+
+    occ_idx comes straight from posexplode: the matcher emits matches in
+    left-to-right order, so the per-(conv,turn) occurrence index needs NO window
+    shuffle — the whole stage is map-only.
+    """
     find_all = mention_finder_udf(terms)
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("start_pos")
     return (
-        turns.select("conv_id", "turn_idx", F.explode(find_all(F.col("text"))).alias("m"))
-        .select("conv_id", "turn_idx", F.col("m.mention").alias("mention"), F.col("m.start_pos").alias("start_pos"))
-        .withColumn("occ_idx", (F.row_number().over(w) - F.lit(1)).cast("int"))
-        .select("conv_id", "turn_idx", "occ_idx", "mention", "start_pos")
+        turns.select("conv_id", "turn_idx", F.posexplode(find_all(F.col("text"))).alias("occ_idx", "m"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("occ_idx").cast("int").alias("occ_idx"),
+            F.col("m.mention").alias("mention"),
+            F.col("m.start_pos").alias("start_pos"),
+        )
     )
 
 

@@ -65,11 +65,12 @@ def write_stage(
 
     spark = df.sparkSession
     written = spark.read.parquet(str(out))
+    lineage = _lineage(written, "bucket" if bucket_col else None)
     manifest = {
         "stage": name,
-        "rows": written.count(),
+        "rows": sum(p["rows"] for p in lineage),  # one pass: total = sum of counters
         "schema": written.drop("bucket").schema.jsonValue(),
-        "lineage": _lineage(written, "bucket" if bucket_col else None),
+        "lineage": lineage,
         "written_at": time.time(),
         "format": "parquet",
     }
