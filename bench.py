@@ -31,16 +31,16 @@ BENCH_CACHE = REPO / ".bench_cache"
 BENCH_TURNS_TARGET = 600_000
 
 
-def ensure_bench_data() -> Path:
+def ensure_bench_data(n_convs: int = 3000, name: str = "kg_bench") -> Path:
     """Generate (once) the bench-scale transcripts fixture; cached on disk."""
     from reden_spark import datagen
 
-    out = BENCH_CACHE / "kg_bench"
+    out = BENCH_CACHE / name
     marker = out / "transcripts.parquet"
     if marker.exists():
         return out
-    # ~3000 convs x ~200 turns ≈ 600k turns + a 20x skewed conversation
-    datagen.generate(out, n_convs=3000, mean_turns=200, seed=42, skew_factor=20, with_gold=False)
+    # n_convs x ~200 turns + a 20x skewed conversation
+    datagen.generate(out, n_convs=n_convs, mean_turns=200, seed=42, skew_factor=20, with_gold=False)
     return out
 
 
@@ -100,11 +100,32 @@ def run_per_query(master_cpus: str, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _headline_subprocess(cpus: str, data_dir: Path) -> dict:
+    """Fresh-process measurement (fresh JVM — no warm-JIT bias between the two
+    parallelism levels of the scaling experiment)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--headline-only", "--cpus", cpus, "--data", str(data_dir)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dual", action="store_true", help="also run headline at local[8] for scaling efficiency")
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--headline-only", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--cpus", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--data", default=None, help=argparse.SUPPRESS)
     a = ap.parse_args()
+
+    if a.headline_only:
+        print(json.dumps(run_headline(a.cpus, Path(a.data))))
+        return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -128,10 +149,18 @@ def main() -> None:
     }
 
     if a.dual:
-        low = run_headline("8", data_dir)
-        ratio = (head["turns_per_sec"] / low["turns_per_sec"]) / (int(cpus) / 8)
-        result["turns_per_sec_8"] = round(low["turns_per_sec"], 1)
-        result["scaling_efficiency_8_to_32"] = round(ratio, 3)
+        # scaling experiment: larger input (fixed overhead amortizes), fresh JVM
+        # per measurement. This is the sandbox proxy for N->4N executors.
+        scale_dir = ensure_bench_data(n_convs=12000, name="kg_scale")
+        hi = _headline_subprocess(cpus, scale_dir)
+        lo = _headline_subprocess("8", scale_dir)
+        ratio = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (int(cpus) / 8)
+        result["scaling"] = {
+            "n_turns": hi["n_turns"],
+            "turns_per_sec_8": round(lo["turns_per_sec"], 1),
+            f"turns_per_sec_{cpus}": round(hi["turns_per_sec"], 1),
+            "efficiency_8_to_" + cpus: round(ratio, 3),
+        }
 
     print(json.dumps(result))
 

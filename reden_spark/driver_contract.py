@@ -529,7 +529,9 @@ O_KG_CANONICAL = SQL_PREFIX + "SELECT uri, canonical FROM canon"
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _kg_stack(spark, sf_dir)
-    links = _links(spark, sf_dir)
+    # materialize the links DAG once — triple materialization consumes it from
+    # several branches (in the real pipeline it reads the links checkpoint)
+    links = _links(spark, sf_dir).localCheckpoint(eager=True)
     return materialize_triples(links, s["kb_edges"], s["dico"])
 
 

@@ -90,13 +90,18 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
-    left = banded.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "band_key")
-    right = banded.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "band_key")
+    # dedupe candidate PAIRS on ids only, then re-attach shingle arrays once per
+    # side — shuffling/distinct-ing the full arrays through the band join is the
+    # expensive anti-pattern this avoids
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band_key")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
     pairs = (
-        left.join(right, "band_key")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
+        left.join(right, "band_key").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+    )
+    sh = sigs.select("doc_id", "shingles")
+    pairs = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -114,16 +119,24 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 
         F.size("shingles") > 0
     )
     keyed = sh.withColumn("block", F.expr("array_min(transform(shingles, s -> md5(s)))"))
-    left = keyed.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "block")
-    right = keyed.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "block")
-    pairs = left.join(right, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    pairs = (
+        keyed.select(F.col("doc_id").alias("doc_a"), "block")
+        .join(keyed.select(F.col("doc_id").alias("doc_b"), "block"), "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    shs = sh.select("doc_id", "shingles")
+    pairs = (
+        pairs.join(shs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(shs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
         pairs.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .distinct()
     )
 
 

@@ -1,0 +1,66 @@
+"""Visualization/enrichment mode (reference §3.3): occurrence counting, property
+assignment from the KB, GeoJSON FeatureCollection sink.
+
+Maps EnrichmentHandler.readTEI/toJson (EnrichmentHandler.java:51-153),
+GeodataGeneration.assignGeoCoordinates (GeodataGeneration.java:32-72 — first
+non-null of the configured lat/long property lists) and
+AuthorsEnrichment.assignAuthorsPropValue (AuthorsEnrichment.java:29-75).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def occurrence_counts(links: DataFrame) -> DataFrame:
+    """URI -> times linked in the corpus (EnrichmentHandler.readTEI :80-94)."""
+    return (
+        links.filter(F.col("chosen_uris").isNotNull() & (F.col("chosen_uris") != ""))
+        .select(F.explode(F.split("chosen_uris", " ")).alias("uri"))
+        .groupBy("uri")
+        .agg(F.count("*").alias("occurrences"))
+    )
+
+
+def assign_property(entities: DataFrame, kb_edges: DataFrame, props: list[str], out_col: str) -> DataFrame:
+    """First non-null value among an ordered property list per entity
+    (GeodataGeneration.java:53-55 semantics: property priority order)."""
+    out = entities
+    kb = kb_edges.select("subj", "pred", "obj")
+    for i, prop in enumerate(props):
+        vals = (
+            kb.filter(F.col("pred") == prop)
+            .groupBy("subj")
+            .agg(F.min("obj").alias(f"_v{i}"))
+            .withColumnRenamed("subj", "uri")
+        )
+        out = out.join(vals, "uri", "left")
+    return out.withColumn(
+        out_col, F.coalesce(*[F.col(f"_v{i}") for i in range(len(props))])
+    ).drop(*[f"_v{i}" for i in range(len(props))])
+
+
+def to_geojson(points: DataFrame, lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """One GeoJSON Feature per row (properties = all other columns); collecting
+    `feature` strings and wrapping in a FeatureCollection reproduces
+    EnrichmentHandler.toJson (:122-153)."""
+    prop_cols = [c for c in points.columns if c not in (lat_col, lon_col)]
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(F.col(lon_col).cast("double"), F.col(lat_col).cast("double")).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(*[F.col(c) for c in prop_cols]).alias("properties"),
+        )
+    )
+    return points.select(feature.alias("feature"))
+
+
+def geojson_feature_collection(points: DataFrame, lat_col: str = "lat", lon_col: str = "lon") -> str:
+    """Small-result driver-side FeatureCollection string (viz output is by
+    definition human-scale; the distributed sink is `to_geojson(...).write`)."""
+    feats = [r.feature for r in to_geojson(points, lat_col, lon_col).collect()]
+    return '{"type": "FeatureCollection", "features": [' + ", ".join(feats) + "]}"

@@ -62,7 +62,14 @@ def run_pipeline(
         timings[name] = time.time() - t0
         return storage.read_stage(spark, out, name)
 
-    transcripts = src("transcripts")
+    # Single-file fixtures arrive as one input split; spread turns round-robin
+    # before the map-only mention stage. Round-robin (not conv_id) is the salt
+    # step of SURVEY.md §4's salt/un-salt dance: detection is per-turn, so a
+    # mega-conversation's turns spread across every task; conversation grouping
+    # happens later via shuffle keys (with AQE skew handling) — no single task
+    # ever has to hold a whole conversation.
+    par = spark.sparkContext.defaultParallelism
+    transcripts = src("transcripts").repartition(par)
     terms = src("mention_terms")
     dico = src("dico")
     kb_edges = src("kb_edges")

@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions: the plans we designed for are the plans we get
+(predicate pushdown to the scan, broadcast hash join for the dictionary probe,
+whole-stage codegen around the relational stages, no cartesian products)."""
+
+from pyspark.sql import functions as F
+
+from reden_spark import datagen
+from reden_spark.operators.candidates import generate_candidates
+from reden_spark.operators.mentions import detect_mentions
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")  # noqa: SLF001
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")).select(
+        "l_returnflag", "l_quantity"
+    )
+    p = plan(q)
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+    # column pruning: scan schema only carries the needed columns
+    read_schema = p.split("ReadSchema")[1][:220]
+    assert "l_returnflag" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_candidate_join_is_broadcast(spark, tables):
+    mentions = detect_mentions(tables["transcripts"], tables["mention_terms"])
+    cands = generate_candidates(mentions, tables["dico"])
+    p = plan(cands)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_mentions_stage_is_map_only(spark, tables):
+    p = plan(detect_mentions(tables["transcripts"], tables["mention_terms"]))
+    # no exchange: detection + occ_idx assignment never shuffles
+    assert "Exchange" not in p
+    assert "codegen id" in p  # surrounding projections stay in whole-stage codegen
+
+
+def test_enrich_and_compare_ops(spark, tables, fixture_dir):
+    import json
+
+    from reden_spark.operators.candidates import conversation_cases
+    from reden_spark.operators.compare import paired_scores, population_completeness, result_diff, result_intersection
+    from reden_spark.operators.disambiguate import NELConfig, disambiguate
+    from reden_spark.operators.enrich import assign_property, geojson_feature_collection, occurrence_counts
+
+    cfg = NELConfig(datagen.BASE_PREFIX, datagen.BASE_PREFIX)
+    mentions = detect_mentions(tables["transcripts"], tables["mention_terms"])
+    candidates = generate_candidates(mentions, tables["dico"])
+    cases = conversation_cases(mentions, candidates)
+    links = disambiguate(mentions, candidates, tables["kb_edges"], tables["rel_weights"], cases, cfg)
+
+    occ = occurrence_counts(links)
+    assert occ.count() > 5 and occ.agg(F.sum("occurrences")).first()[0] > 0
+
+    # property assignment: chosen URIs are base URIs, which carry note triples
+    ents = occ.select("uri")
+    enriched = assign_property(ents, tables["kb_edges"], ["http://kb.test/pred/note"], "note")
+    with_note = enriched.filter(F.col("note").isNotNull())
+    assert with_note.count() > 0
+    assert with_note.first().note.startswith("http://kb.test/res/note/")
+    pts = spark.createDataFrame([("e1", 48.85, 2.35)], "uri string, lat double, lon double")
+    fc = json.loads(geojson_feature_collection(pts))
+    assert fc["type"] == "FeatureCollection"
+    assert fc["features"][0]["geometry"]["coordinates"] == [2.35, 48.85]
+    assert fc["features"][0]["properties"]["uri"] == "e1"
+
+    inter = result_intersection(links, links)
+    assert inter.count() == links.select("conv_id", "turn_idx", "occ_idx", "mention").distinct().count()
+    assert result_diff(links, links).count() == 0
+    ps = paired_scores(links, links)
+    assert ps.filter(F.col("score_a") != F.col("score_b")).count() == 0
+
+    gold = tables["gold_links"]
+    kb_uris = tables["dico"].select(F.explode("uris").alias("uri"))
+    pc = population_completeness(gold, kb_uris).first()
+    assert pc.n_covered == pc.n_gold_entities  # fixture gold is dico-covered
+    assert pc.completeness == 1.0
