@@ -39,8 +39,11 @@ def ensure_bench_data(n_convs: int = 3000, name: str = "kg_bench") -> Path:
     marker = out / "transcripts.parquet"
     if marker.exists():
         return out
-    # n_convs x ~200 turns + a 20x skewed conversation
-    datagen.generate(out, n_convs=n_convs, mean_turns=200, seed=42, skew_factor=20, with_gold=False)
+    # n_convs x ~200 turns + a 20x skewed conversation; 4 sentences/turn (~300
+    # chars) approximates real agent-transcript turn lengths
+    datagen.generate(
+        out, n_convs=n_convs, mean_turns=200, seed=42, skew_factor=20, with_gold=False, sentences_per_turn=4
+    )
     return out
 
 

@@ -243,6 +243,7 @@ def generate(
     seed: int = 42,
     skew_factor: int = 20,
     with_gold: bool = True,
+    sentences_per_turn: int = 1,
 ) -> dict[str, str]:
     """Generate all fixture tables under out_dir; returns {table: path}."""
     out = Path(out_dir)
@@ -289,33 +290,46 @@ def generate(
             term_gold[nil] = None
 
         placed_ambiguous = False
+
+        def make_sentence(t: int, force_ambiguous: bool) -> tuple[str, bool]:
+            tmpl = TEMPLATES[rng.randrange(len(TEMPLATES))]
+            n_slots = tmpl.count("{")
+            picks = []
+            for _s in range(n_slots):
+                e = members[rng.randrange(len(members))]
+                forms = surface_forms(e, allow_ambiguous=(kind == "graph"))
+                form = forms[rng.randrange(len(forms))]
+                if kind == "simple" and form in ambiguous_aliases:
+                    form = e["aliases"][0]
+                picks.append(form)
+            if kind == "graph" and rng.random() < 0.08:
+                picks[0] = NIL_TERMS[rng.randrange(len(NIL_TERMS))]
+            if force_ambiguous:
+                amb_members = [e for e in members if any(a in ambiguous_aliases for a in e["aliases"])]
+                if amb_members:
+                    e = amb_members[0]
+                    picks[0] = next(a for a in e["aliases"] if a in ambiguous_aliases)
+            return tmpl.format(*picks), any(p in ambiguous_aliases for p in picks)
+
         for t in range(n_turns):
             role = roles[t % len(roles)]
             if kind == "none" or (kind != "none" and rng.random() < 0.12):
                 text = NO_MENTION_TEXTS[t % len(NO_MENTION_TEXTS)]
             else:
-                tmpl = TEMPLATES[rng.randrange(len(TEMPLATES))]
-                n_slots = tmpl.count("{")
-                picks = []
-                for s in range(n_slots):
-                    e = members[rng.randrange(len(members))]
-                    allow_amb = kind == "graph"
-                    forms = surface_forms(e, allow_amb)
-                    form = forms[rng.randrange(len(forms))]
-                    if kind == "simple" and form in ambiguous_aliases:
-                        form = e["aliases"][0]
-                    picks.append(form)
-                if kind == "graph" and rng.random() < 0.08:
-                    picks[0] = NIL_TERMS[rng.randrange(len(NIL_TERMS))]
-                if kind == "graph" and not placed_ambiguous and t >= n_turns - 3:
-                    # guarantee at least one ambiguous mention in graph conversations
-                    amb_members = [e for e in members if any(a in ambiguous_aliases for a in e["aliases"])]
-                    if amb_members:
-                        e = amb_members[0]
-                        picks[0] = next(a for a in e["aliases"] if a in ambiguous_aliases)
-                text = tmpl.format(*picks)
-                if any(p in ambiguous_aliases for p in picks):
-                    placed_ambiguous = True
+                sents = []
+                for si in range(sentences_per_turn):
+                    force = (
+                        kind == "graph" and not placed_ambiguous and t >= n_turns - 3 and si == 0
+                    )
+                    s_text, amb = make_sentence(t, force)
+                    if amb or force:
+                        placed_ambiguous = True
+                    sents.append(s_text)
+                    if si + 1 < sentences_per_turn:
+                        # filler between sentences pads the turn toward realistic length
+                        off = rng.randrange(8)
+                        sents.append(" ".join(FILLER[off : off + 9]) + ".")
+                text = " ".join(sents)
             t_rows.append(
                 {
                     "conv_id": conv_id,

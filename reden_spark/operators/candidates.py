@@ -46,9 +46,12 @@ def conversation_cases(mentions: DataFrame, candidates: DataFrame) -> DataFrame:
     zero detected mentions never appear in `mentions` (the NoMentionsAnnotated
     case produces no rows downstream by construction).
     """
+    # distinct first: the gate only depends on which mention strings occur in
+    # the conversation, so shrink the occurrence table before the join
     n_groups = candidates.groupBy("conv_id", "mention").agg(F.count("*").alias("n_groups"))
     return (
         mentions.select("conv_id", "mention")
+        .distinct()
         .join(n_groups, ["conv_id", "mention"], "left")
         .groupBy("conv_id")
         .agg(F.max(F.coalesce(F.col("n_groups"), F.lit(0))).alias("max_groups"))

@@ -55,16 +55,6 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         labels = merged
         if changed == 0:
             break
-        # label compression: point every vertex at its label's label (path halving)
-        labels = (
-            labels.join(
-                labels.select(F.col("v").alias("label"), F.col("label").alias("root")),
-                "label",
-                "left",
-            )
-            .select("v", F.coalesce("root", "label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
     return labels.select(F.col("v").alias("uri"), F.col("label").alias("canonical"))
 
 

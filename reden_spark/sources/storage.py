@@ -32,14 +32,23 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def _lineage(df: DataFrame, lineage_key: str | None) -> list[dict]:
-    """Per-partition row counters. Lineage key defaults to the physical shuffle
-    partition; conv-keyed stages pass a bucket expression over conv_id."""
-    if lineage_key:
-        counts = df.groupBy(F.col(lineage_key).alias("part")).count()
-    else:
-        counts = df.groupBy(F.spark_partition_id().alias("part")).count()
-    return [{"part": str(r["part"]), "rows": r["count"]} for r in counts.collect()]
+def _lineage_from_footers(out: Path) -> list[dict]:
+    """Per-partition row counters read from parquet footers — zero Spark jobs.
+    Buckets appear as hive-style `bucket=N` directories; unbucketed tables get
+    one counter per file."""
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    for f in sorted(out.rglob("*.parquet")):
+        part = "all"
+        for seg in f.relative_to(out).parts:
+            if "=" in seg:
+                part = seg.split("=", 1)[1]
+                break
+        else:
+            part = f.stem.split("-")[1][:8] if "-" in f.stem else f.stem
+        counts[part] = counts.get(part, 0) + pq.ParquetFile(str(f)).metadata.num_rows
+    return [{"part": p, "rows": n} for p, n in sorted(counts.items())]
 
 
 def write_stage(
@@ -63,13 +72,11 @@ def write_stage(
         w = w.partitionBy(*partition_by)
     w.parquet(str(out))
 
-    spark = df.sparkSession
-    written = spark.read.parquet(str(out))
-    lineage = _lineage(written, "bucket" if bucket_col else None)
+    lineage = _lineage_from_footers(out)
     manifest = {
         "stage": name,
-        "rows": sum(p["rows"] for p in lineage),  # one pass: total = sum of counters
-        "schema": written.drop("bucket").schema.jsonValue(),
+        "rows": sum(p["rows"] for p in lineage),  # footer metadata: no extra Spark job
+        "schema": df.schema.jsonValue(),
         "lineage": lineage,
         "written_at": time.time(),
         "format": "parquet",
