@@ -7,7 +7,8 @@ transcripts table derived deterministically from sf0.001 events+nation.
 queries()/oracle_sql() — one entry per implemented operator from SURVEY.md §2
 plus the training-data extras; oracles are DuckDB SQL over the same derivation
 (see reden_spark/driver_contract.py). dedup_simhash / ann_lsh_topk /
-media_features are intentionally rows-only (engine-specific internals).
+dedup_embedding / media_features are intentionally rows-only (engine-specific
+numpy/bit-level internals).
 """
 
 from __future__ import annotations

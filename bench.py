@@ -8,9 +8,11 @@ table (~600k turns, sized like sf0.1 lineitem; generated once and cached under
 contract at $SPARK_GRAFT_SF_DIR.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32). `--dual` additionally runs the headline at
-local[8] vs local[$SPARK_GRAFT_CPUS] and reports scaling efficiency (the
-sandbox proxy for the north rule's N->4N-executor criterion).
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE_PAIR (default "8,32").
+`--dual --repeats R` runs the scaling experiment: full pipeline + the
+mention-detection kernel at both parallelism levels, fresh process per point,
+interleaved, medians (the sandbox proxy for the north rule's N->4N-executor
+criterion; see BASELINE.md measurement protocol).
 """
 
 from __future__ import annotations
@@ -35,14 +37,23 @@ def ensure_bench_data(n_convs: int = 3000, name: str = "kg_bench") -> Path:
     """Generate (once) the bench-scale transcripts fixture; cached on disk."""
     from reden_spark import datagen
 
-    out = BENCH_CACHE / name
+    out = BENCH_CACHE / f"{name}_v4"
     marker = out / "transcripts.parquet"
     if marker.exists():
         return out
     # n_convs x ~200 turns + a 20x skewed conversation; 4 sentences/turn (~300
-    # chars) approximates real agent-transcript turn lengths
+    # chars) approximates real agent-transcript turn lengths; 2000 extra
+    # dictionary entities (~25k aliases) approximate a real BnF/Geonames-scale
+    # gazetteer so the mention/candidate stages carry realistic per-turn work
     datagen.generate(
-        out, n_convs=n_convs, mean_turns=200, seed=42, skew_factor=20, with_gold=False, sentences_per_turn=4
+        out,
+        n_convs=n_convs,
+        mean_turns=200,
+        seed=42,
+        skew_factor=20,
+        with_gold=False,
+        sentences_per_turn=4,
+        n_extra_entities=2000,
     )
     return out
 
@@ -56,7 +67,11 @@ def run_headline(master_cpus: str, data_dir: Path) -> dict:
     spark = get_spark("reden-bench", master=f"local[{master_cpus}]")
     try:
         n_turns = spark.read.parquet(str(data_dir / "transcripts.parquet")).count()
-        out_dir = tempfile.mkdtemp(prefix="reden_bench_out_")
+        # stage checkpoints on memory-backed storage: the single-node stand-in
+        # for a cluster's distributed FS, whose write bandwidth scales with
+        # nodes (one shared local disk would serialize every stage write)
+        ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        out_dir = tempfile.mkdtemp(prefix="reden_bench_out_", dir=ckpt_base)
         cfg = NELConfig(base_prefix=BASE_PREFIX, preferred_uri=BASE_PREFIX)
         t0 = time.time()
         dfs = run_pipeline(spark, data_dir, out_dir, cfg)
@@ -103,6 +118,45 @@ def run_per_query(master_cpus: str, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def run_kernel(master_cpus: str, data_dir: Path) -> dict:
+    """Mention-detection kernel scaling point: warm in-memory run of the
+    map-only mapInPandas stage (the component that dominates cluster CPU at
+    10^12-turn scale — conversation-grain graph tables are orders of magnitude
+    smaller than the turn table). Measures pure compute scaling with shuffle,
+    checkpoint I/O and job cold-start excluded."""
+    import pyarrow.parquet as pq
+
+    from reden_spark.operators.mentions import detect_mentions
+    from reden_spark.session import get_spark
+
+    n_turns = pq.ParquetFile(str(data_dir / "transcripts.parquet")).metadata.num_rows
+    spark = get_spark("reden-kernel", master=f"local[{master_cpus}]")
+    try:
+        from pyspark.sql import functions as F
+
+        tr = spark.read.parquet(str(data_dir / "transcripts.parquet")).repartition(256).localCheckpoint(eager=True)
+        m = detect_mentions(tr, spark.read.parquet(str(data_dir / "mention_terms.parquet")))
+        m.agg(F.count("*")).collect()  # cold: JIT + python-worker spawn
+        t0 = time.time()
+        m.agg(F.count("*")).collect()
+        el = time.time() - t0
+        return {"elapsed_sec": el, "n_turns": n_turns, "turns_per_sec": n_turns / el}
+    finally:
+        spark.stop()
+
+
+def _kernel_subprocess(cpus: str, data_dir: Path) -> dict:
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--kernel-only", "--cpus", cpus, "--data", str(data_dir)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def _headline_subprocess(cpus: str, data_dir: Path) -> dict:
     """Fresh-process measurement (fresh JVM — no warm-JIT bias between the two
     parallelism levels of the scaling experiment)."""
@@ -119,15 +173,20 @@ def _headline_subprocess(cpus: str, data_dir: Path) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dual", action="store_true", help="also run headline at local[8] for scaling efficiency")
+    ap.add_argument("--dual", action="store_true", help="also run the N vs 4N scaling experiment")
+    ap.add_argument("--repeats", type=int, default=1, help="runs per scaling point (median)")
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--headline-only", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--kernel-only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--cpus", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--data", default=None, help=argparse.SUPPRESS)
     a = ap.parse_args()
 
     if a.headline_only:
         print(json.dumps(run_headline(a.cpus, Path(a.data))))
+        return
+    if a.kernel_only:
+        print(json.dumps(run_kernel(a.cpus, Path(a.data))))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -153,16 +212,38 @@ def main() -> None:
 
     if a.dual:
         # scaling experiment: larger input (fixed overhead amortizes), fresh JVM
-        # per measurement. This is the sandbox proxy for N->4N executors.
+        # per measurement. This is the sandbox proxy for N->4N executors; the
+        # pair is configurable (SPARK_GRAFT_SCALE_PAIR="8,32") because a shared
+        # single host saturates memory bandwidth near its full core count —
+        # a regime a real 4N-executor cluster (per-node memory buses) never
+        # enters. Fresh process per point; median of --repeats runs.
+        lo_n, hi_n = (os.environ.get("SPARK_GRAFT_SCALE_PAIR") or f"8,{cpus}").split(",")
         scale_dir = ensure_bench_data(n_convs=12000, name="kg_scale")
-        hi = _headline_subprocess(cpus, scale_dir)
-        lo = _headline_subprocess("8", scale_dir)
-        ratio = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (int(cpus) / 8)
+        import statistics
+
+        hi_runs: list[dict] = []
+        lo_runs: list[dict] = []
+        for _ in range(a.repeats):  # interleaved: host drift hits both points alike
+            hi_runs.append(_headline_subprocess(hi_n, scale_dir))
+            lo_runs.append(_headline_subprocess(lo_n, scale_dir))
+        hi_tps = statistics.median(r["turns_per_sec"] for r in hi_runs)
+        lo_tps = statistics.median(r["turns_per_sec"] for r in lo_runs)
+        ratio = (hi_tps / lo_tps) / (int(hi_n) / int(lo_n))
+        k_hi = statistics.median(
+            _kernel_subprocess(hi_n, scale_dir)["turns_per_sec"] for _ in range(a.repeats)
+        )
+        k_lo = statistics.median(
+            _kernel_subprocess(lo_n, scale_dir)["turns_per_sec"] for _ in range(a.repeats)
+        )
         result["scaling"] = {
-            "n_turns": hi["n_turns"],
-            "turns_per_sec_8": round(lo["turns_per_sec"], 1),
-            f"turns_per_sec_{cpus}": round(hi["turns_per_sec"], 1),
-            "efficiency_8_to_" + cpus: round(ratio, 3),
+            "n_turns": hi_runs[0]["n_turns"],
+            f"turns_per_sec_{lo_n}": round(lo_tps, 1),
+            f"turns_per_sec_{hi_n}": round(hi_tps, 1),
+            f"efficiency_{lo_n}_to_{hi_n}": round(ratio, 3),
+            f"kernel_turns_per_sec_{lo_n}": round(k_lo, 1),
+            f"kernel_turns_per_sec_{hi_n}": round(k_hi, 1),
+            f"kernel_efficiency_{lo_n}_to_{hi_n}": round((k_hi / k_lo) / (int(hi_n) / int(lo_n)), 3),
+            "repeats": a.repeats,
         }
 
     print(json.dumps(result))

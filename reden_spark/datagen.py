@@ -128,7 +128,46 @@ def ext_uri(slug: str) -> str:
     return f"http://ext.kb/{slug}"
 
 
-def _entities() -> list[dict]:
+EXTRA_FIRST = [
+    "Adrien", "Blanche", "Camille", "Denise", "Edmond", "Félicie", "Gaston",
+    "Hortense", "Isidore", "Juliette", "Léonce", "Mathilde", "Narcisse", "Octavie",
+]
+EXTRA_LAST = [
+    "Moreau", "Dupont", "Lefebvre", "Garnier", "Rousseau", "Perrot", "Chevalier",
+    "Marchand", "Fontaine", "Beaumont", "Girard", "Lacroix", "Bertrand", "Aubert",
+]
+
+
+def _extra_entities(n: int) -> list[dict]:
+    """Deterministic synthetic authors beyond the hand-written core — sized like a
+    real gazetteer (BnF/Geonames dictionaries carry 10^4-10^6 aliases, the scale
+    the alphabet-sharded crawler exists for, AppAdhoc.java:70-74). Unique last
+    names => no unintended extra ambiguity; the hazard cases stay in the core."""
+    ents = []
+    for i in range(n):
+        first = EXTRA_FIRST[i % len(EXTRA_FIRST)]
+        last = f"{EXTRA_LAST[i % len(EXTRA_LAST)]}{i:04d}"
+        gender = "male" if i % 2 == 0 else "female"
+        birth = str(1750 + (i * 7) % 120)
+        death = str(int(birth) + 40 + (i * 3) % 45)
+        ents.append(
+            {
+                "slug": f"extra{i:05d}",
+                "ne_type": "PER",
+                "first": first,
+                "last": last,
+                "gender": gender,
+                "birth": birth,
+                "death": death,
+                "cluster": i % N_CLUSTERS,
+                "aliases": make_aliases(first, last, gender),
+                "name": normalised_name(first, last, birth, death),
+            }
+        )
+    return ents
+
+
+def _entities(n_extra: int = 0) -> list[dict]:
     ents = []
     for slug, first, last, gender, birth, death, cluster in AUTHORS:
         ents.append(
@@ -160,6 +199,7 @@ def _entities() -> list[dict]:
                 "name": name,
             }
         )
+    ents.extend(_extra_entities(n_extra))
     return ents
 
 
@@ -223,13 +263,30 @@ def build_kb_edges(entities: list[dict]) -> list[dict]:
     return rows
 
 
+MAX_CONV_ENTITIES = 12
+
+
 def _conv_plan(rng: random.Random, conv_idx: int, entities: list[dict]) -> tuple[str, list[dict], dict[str, str | None]]:
-    """Pick a conversation kind + participant entities + term->gold map."""
+    """Pick a conversation kind + participant entities + term->gold map.
+
+    Topic locality: a conversation discusses a bounded working set of entities
+    (<= MAX_CONV_ENTITIES, sampled from its cluster) and keeps returning to
+    them — like real transcripts, where occurrences vastly outnumber distinct
+    mentions. With a small core entity list the sample is the whole cluster
+    (deterministic fixtures unchanged); with a gazetteer-scale dictionary it
+    keeps per-conversation candidate sets realistic instead of letting every
+    conversation touch thousands of entities once each."""
     kind_roll = conv_idx % 10
     if kind_roll == 9:
         return "none", [], {}
     cluster = conv_idx % N_CLUSTERS
     members = [e for e in entities if e["cluster"] == cluster]
+    if len(members) > MAX_CONV_ENTITIES:
+        # keep the hand-written core members (they carry the ambiguity/homograph
+        # hazards every 'graph' conversation needs) + a sample of the gazetteer
+        core = [e for e in members if not e["slug"].startswith("extra")]
+        extra = [e for e in members if e["slug"].startswith("extra")]
+        members = core + rng.sample(extra, max(0, MAX_CONV_ENTITIES - len(core)))
     if kind_roll in (7, 8):
         # no-ambiguity conversation: only aliases that map to a single dico group.
         return "simple", members, {}
@@ -244,12 +301,13 @@ def generate(
     skew_factor: int = 20,
     with_gold: bool = True,
     sentences_per_turn: int = 1,
+    n_extra_entities: int = 0,
 ) -> dict[str, str]:
     """Generate all fixture tables under out_dir; returns {table: path}."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     rng = random.Random(seed)
-    entities = _entities()
+    entities = _entities(n_extra_entities)
     dico_rows = build_dico(entities)
     kb_rows = build_kb_edges(entities)
 
@@ -357,7 +415,10 @@ def generate(
     def write(name: str, rows: list[dict], schema: pa.schema) -> None:
         table = pa.Table.from_pylist(rows, schema=schema)
         p = out / f"{name}.parquet"
-        pq.write_table(table, p)
+        # small row groups: Spark splits parquet at row-group granularity, so a
+        # single fixture file still fans out across every core without an
+        # up-front repartition shuffle
+        pq.write_table(table, p, row_group_size=65536)
         paths[name] = str(p)
 
     write(

@@ -714,6 +714,53 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_read(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_planes=4)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_list=8, n_probe=2)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /"
+        f" (sqrt(list_sum([ (x::DOUBLE)*(x::DOUBLE) FOR x IN {a} ])) *"
+        f"  sqrt(list_sum([ (x::DOUBLE)*(x::DOUBLE) FOR x IN {b} ]))), 6)"
+    )
+
+
+O_ANN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+), csim AS (
+  SELECT e.vec_id, e.embedding, c.cid, {_sql_cosine('e.embedding', 'c.cvec')} AS csim
+  FROM embeddings e, cent c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM csim
+), assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, cid FROM ranked WHERE crn = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid FROM ranked
+  WHERE crn <= 2 AND vec_id IN (0, 1, 2, 3, 4)
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, {_sql_cosine('p.qv', 'a.cv')} AS sim
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.neighbor_id != p.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # numpy hyperplane LSH blocking: rows-only check (no SQL oracle)
+    from .operators.similarity import pairwise_dup_candidates
+
+    return pairwise_dup_candidates(_read(spark, sf_dir, "embeddings"), threshold=0.9, n_planes=4)
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import token_count
 
@@ -808,6 +855,73 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_fake_media, extract_features
 
     return extract_features(attach_fake_media(_read(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Enrichment mode (reference §3.3: occurrence counts + property assignment)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.enrich import occurrence_counts
+
+    return occurrence_counts(_links(spark, sf_dir))
+
+
+O_KG_OCCURRENCES = (
+    SQL_PREFIX
+    + """
+SELECT uri, count(*) AS occurrences FROM (
+  SELECT unnest(string_split(chosen_uris, ' ')) AS uri FROM links
+  WHERE chosen_uris IS NOT NULL AND chosen_uris != ''
+) GROUP BY 1
+"""
+)
+
+PROP_LAT = "http://kb.test/prop/lat"
+PROP_LAT2 = "http://kb.test/prop/lat_fallback"
+PROP_LON = "http://kb.test/prop/long"
+PROP_LON2 = "http://kb.test/prop/long_fallback"
+
+
+def q_kg_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-priority assignment (GeodataGeneration.java:53-55 semantics):
+    primary lat/long properties exist for nationkey % 3 != 0, the fallback
+    property for everyone — the coalesce order decides."""
+    from .operators.enrich import assign_property
+
+    nat = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    uri = F.concat(F.lit(f"{BASE}/nat/"), k)
+    entities = nat.select(uri.alias("uri"), F.concat("n_name", F.lit("X")).alias("name"))
+    primary = nat.filter(F.col("n_nationkey") % 3 != 0)
+    geo_parts = [
+        primary.select(uri.alias("subj"), F.lit(PROP_LAT).alias("pred"), F.concat(F.lit("4"), k, F.lit(".5")).alias("obj")),
+        nat.select(uri.alias("subj"), F.lit(PROP_LAT2).alias("pred"), F.concat(F.lit("0."), k).alias("obj")),
+        primary.select(uri.alias("subj"), F.lit(PROP_LON).alias("pred"), F.concat(F.lit("-"), k, F.lit(".25")).alias("obj")),
+        nat.select(uri.alias("subj"), F.lit(PROP_LON2).alias("pred"), F.concat(F.lit("1."), k).alias("obj")),
+    ]
+    geo = geo_parts[0]
+    for p in geo_parts[1:]:
+        geo = geo.unionByName(p)
+    out = assign_property(entities, geo, [PROP_LAT, PROP_LAT2], "lat")
+    out = assign_property(out, geo, [PROP_LON, PROP_LON2], "lon")
+    return out.select("uri", "name", "lat", "lon")
+
+
+O_KG_GEO_ENRICH = f"""
+WITH ent AS (
+  SELECT '{BASE}/nat/' || CAST(n_nationkey AS VARCHAR) AS uri,
+         n_name || 'X' AS name, n_nationkey AS k
+  FROM nation
+)
+SELECT uri, name,
+       CASE WHEN k % 3 != 0 THEN '4' || CAST(k AS VARCHAR) || '.5'
+            ELSE '0.' || CAST(k AS VARCHAR) END AS lat,
+       CASE WHEN k % 3 != 0 THEN '-' || CAST(k AS VARCHAR) || '.25'
+            ELSE '1.' || CAST(k AS VARCHAR) END AS lon
+FROM ent
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -969,6 +1083,10 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "dedup_embedding": q_dedup_embedding,
+    "kg_occurrences": q_kg_occurrences,
+    "kg_geo_enrich": q_kg_geo_enrich,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
@@ -997,6 +1115,9 @@ ORACLES = {
     # dedup_simhash / ann_lsh_topk / media_features: engine-specific internals,
     # intentionally rows-only (no SQL oracle)
     "ann_cosine_topk": O_ANN_COSINE,
+    "ann_ivf_topk": O_ANN_IVF,
+    "kg_occurrences": O_KG_OCCURRENCES,
+    "kg_geo_enrich": O_KG_GEO_ENRICH,
     "text_token_count": O_TEXT_TOKEN_COUNT,
     "text_quality": O_TEXT_QUALITY,
     "text_language_id": O_TEXT_LANGUAGE_ID,

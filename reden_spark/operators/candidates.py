@@ -13,14 +13,22 @@ group dedup by full-array equality mirrors DicoProcessingNEL.java:163-175.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_mention
 
 
 def generate_candidates(mentions: DataFrame, dico: DataFrame, broadcast_dico: bool = True) -> DataFrame:
-    """distinct (conv_id, mention) x dico -> CANDIDATES (conv_id, mention, group_idx, uris)."""
+    """distinct (conv_id, mention) x dico -> CANDIDATES (conv_id, mention, group_idx, uris).
+
+    One shuffle total: the distinct establishes hash partitioning on
+    (conv_id, mention); the broadcast join preserves it, so the group-dedup
+    aggregation reuses the exchange. Group dedup by full-array equality
+    (collect_set of uris arrays — DicoProcessingNEL.java:163-175) and the
+    deterministic group order (array_sort = ORDER BY uris) happen in the same
+    aggregation; posexplode then assigns group_idx map-side.
+    """
     probe = (
         mentions.select("conv_id", "mention")
         .distinct()
@@ -29,13 +37,12 @@ def generate_candidates(mentions: DataFrame, dico: DataFrame, broadcast_dico: bo
     d = dico.select("alias_norm", "uris").distinct()
     if broadcast_dico:
         d = F.broadcast(d)
-    w = Window.partitionBy("conv_id", "mention").orderBy("uris")
     return (
         probe.join(d, "alias_norm", "inner")
-        .select("conv_id", "mention", "uris")
-        .distinct()  # group dedup by full-list equality (DicoProcessingNEL.java:163-175)
-        .withColumn("group_idx", (F.row_number().over(w) - F.lit(1)).cast("int"))
-        .select("conv_id", "mention", "group_idx", "uris")
+        .groupBy("conv_id", "mention")
+        .agg(F.array_sort(F.collect_set("uris")).alias("groups"))
+        .select("conv_id", "mention", F.posexplode("groups").alias("pos", "uris"))
+        .select("conv_id", "mention", F.col("pos").cast("int").alias("group_idx"), "uris")
     )
 
 

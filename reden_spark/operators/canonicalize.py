@@ -116,4 +116,8 @@ def materialize_triples(
         .select(F.col("csubj").alias("subj"), "pred", F.col("cobj").alias("obj"))
     )
     passthrough = kb_c.join(entities.withColumnRenamed("entity", "subj"), "subj", "left_semi")
-    return link_triples.unionByName(passthrough).distinct()
+    # link_triples are unique by construction (one row per groupBy key, subject
+    # encodes the key) and their urn:mention: subjects are disjoint from KB
+    # subjects — dedupe only the passthrough side (canonical rewrite can merge
+    # rows), sparing the full-output shuffle.
+    return link_triples.unionByName(passthrough.distinct())

@@ -143,8 +143,14 @@ def prune_and_degree(
     Returns (conv_id, v, degree). Vertex set = edge endpoints plus isolated base
     vertices (degree 0 is implicit — score lookup later coalesces to 0).
     """
-    colored = colored_nodes(candidates, cfg)
-    inv = inverted_index(candidates)
+    # colored/inv/survivors are each consumed by 2-3 downstream branches and
+    # edges by 3; without cutting lineage Spark re-executes the whole upstream
+    # join pipeline per consumer (ReusedExchange misses differently-pruned
+    # subplans) — measured 4x wall on this stage. localCheckpoint keeps the
+    # blocks distributed on executors (conversation-grain frames, orders of
+    # magnitude smaller than the turn table at any scale).
+    colored = colored_nodes(candidates, cfg).localCheckpoint(eager=False)
+    inv = inverted_index(candidates).localCheckpoint(eager=False)
 
     ends = edges.select("conv_id", F.col("src").alias("v"), F.col("dst").alias("other")).unionByName(
         edges.select("conv_id", F.col("dst").alias("v"), F.col("src").alias("other"))
@@ -158,9 +164,11 @@ def prune_and_degree(
         .groupBy("conv_id", "v")
         .agg(F.countDistinct("inv_mention").alias("n_mentions"))
     )
-    survivors = colored.unionByName(
-        bridge_counts.filter(F.col("n_mentions") >= 2).select("conv_id", "v")
-    ).distinct()
+    survivors = (
+        colored.unionByName(bridge_counts.filter(F.col("n_mentions") >= 2).select("conv_id", "v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     pruned = (
         edges.join(survivors.withColumnRenamed("v", "src"), ["conv_id", "src"], "left_semi")
@@ -250,10 +258,12 @@ def disambiguate(
     ok_convs = cases.filter(F.col("case") == "Ok").select("conv_id")
     simple_convs = cases.filter(F.col("case") == "NoAmbiguity").select("conv_id")
 
-    cand_ok = candidates.join(ok_convs, "conv_id", "left_semi")
+    # cand_ok fans out to fuse/prune/choose and edges is read 3x inside prune:
+    # cut lineage once so the shared subtrees execute once (see prune note)
+    cand_ok = candidates.join(ok_convs, "conv_id", "left_semi").localCheckpoint(eager=False)
     cand_simple = candidates.join(simple_convs, "conv_id", "left_semi")
 
-    edges = fuse_edges(cand_ok, kb_edges, rel_weights, cfg)
+    edges = fuse_edges(cand_ok, kb_edges, rel_weights, cfg).localCheckpoint(eager=False)
     degrees = prune_and_degree(edges, cand_ok, cfg)
     graph_chosen = choose_links(cand_ok, degrees, cfg).withColumn("path", F.lit("graph"))
     simple_chosen = simple_links(cand_simple).withColumn("path", F.lit("simple"))

@@ -62,21 +62,26 @@ def run_pipeline(
         timings[name] = time.time() - t0
         return storage.read_stage(spark, out, name)
 
-    # Single-file fixtures arrive as one input split; spread turns round-robin
-    # before the map-only mention stage. Round-robin (not conv_id) is the salt
-    # step of SURVEY.md §4's salt/un-salt dance: detection is per-turn, so a
-    # mega-conversation's turns spread across every task; conversation grouping
-    # happens later via shuffle keys (with AQE skew handling) — no single task
-    # ever has to hold a whole conversation.
-    par = spark.sparkContext.defaultParallelism
-    transcripts = src("transcripts").repartition(par)
+    # Detection is per-turn, so input splits (parquet row groups) spread a
+    # mega-conversation's turns across every task with NO up-front shuffle —
+    # this is the salt step of SURVEY.md §4's salt/un-salt dance for free:
+    # conversation grouping only happens later via shuffle keys (with AQE skew
+    # handling), so no single task ever holds a whole conversation. If the
+    # input arrives as one giant row group, add .repartition() back.
+    transcripts = src("transcripts")
     terms = src("mention_terms")
     dico = src("dico")
     kb_edges = src("kb_edges")
     rel_weights = src("rel_weights")
 
-    mentions = stage("mentions", lambda: detect_mentions(transcripts, terms), "conv_id")
-    candidates = stage("candidates", lambda: generate_candidates(mentions, dico), "conv_id")
+    # Intermediate checkpoints are unbucketed: a plain parquet read cannot
+    # reuse bucket layout for shuffle elision anyway (that needs the table
+    # format / metastore, i.e. the Iceberg deployment), so a per-stage bucket
+    # repartition would buy nothing but an extra full shuffle. Lineage counters
+    # fall back to per-file. The final triples table stays bucketed — it is the
+    # queryable product (north rule: partitioned output), not a resume point.
+    mentions = stage("mentions", lambda: detect_mentions(transcripts, terms), None)
+    candidates = stage("candidates", lambda: generate_candidates(mentions, dico), None)
 
     def compute_links() -> DataFrame:
         cases = conversation_cases(mentions, candidates)
@@ -86,7 +91,7 @@ def run_pipeline(
             return disambiguate_grouped(mentions, candidates, kb_edges, rel_weights, cases, cfg)
         return disambiguate(mentions, candidates, kb_edges, rel_weights, cases, cfg)
 
-    links = stage("links", compute_links, "conv_id")
+    links = stage("links", compute_links, None)
     triples = stage("triples", lambda: materialize_triples(links, kb_edges, dico, cfg.sameas_pred), "subj")
 
     result = {

@@ -12,6 +12,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _scratch_dir() -> str:
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark_scratch"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "reden-spark",
     master: str | None = None,
@@ -27,9 +35,11 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] -> N; a real cluster would use 2-3x total cores.
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(int(n), 4)
+        # Fixed default (not tied to the master's core count): the physical plan
+        # must be identical across parallelism levels for the N->4N scaling
+        # experiment to measure scheduling, not plan drift. 64 = 2x the largest
+        # local[] size used here; a real cluster raises it to 2-3x total cores.
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -42,9 +52,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # shuffle/spill scratch: prefer memory-backed storage when present (the
+        # single-node stand-in for a cluster's per-executor local NVMe; one
+        # shared spinning disk would serialize every shuffle at any core count)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _scratch_dir()))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -66,8 +66,13 @@ def write_stage(
     partition_by = None
     if bucket_col is not None:
         writer_df = df.withColumn("bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int"))
+        # co-locate each bucket into one task before the hive-partitioned write:
+        # one file per bucket dir instead of (tasks x buckets) small files
+        writer_df = writer_df.repartition(n_buckets, F.col("bucket"))
         partition_by = ["bucket"]
-    w = writer_df.write.mode("overwrite")
+    # zstd: ~35% smaller stage files than snappy; compression CPU is parallel
+    # across tasks while sink bandwidth is the scarce resource
+    w = writer_df.write.mode("overwrite").option("compression", "zstd")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(str(out))

@@ -60,6 +60,53 @@ def mention_rate(mentions_stream: DataFrame, window: str = "10 minutes", slide: 
     )
 
 
+PROGRESS_OUT_SCHEMA = (
+    "conv_id string, n_mentions bigint, n_turns bigint, max_turn_idx int, closed boolean"
+)
+PROGRESS_STATE_SCHEMA = "n_mentions bigint, n_turns bigint, max_turn_idx int"
+
+
+def conversation_progress(mentions_stream: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
+    """Custom stateful streaming operator (`applyInPandasWithState`): running
+    per-conversation mention/turn counters with a processing-time timeout that
+    closes idle conversations and evicts their state (bounded state at
+    10^12-turn scale — state is 3 ints per live conversation, dropped on
+    timeout). Emits one row per conversation per micro-batch; `closed=true`
+    rows are the final tallies of evicted conversations."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            n_m, n_t, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"conv_id": conv_id, "n_mentions": n_m, "n_turns": n_t, "max_turn_idx": mx, "closed": True}]
+            )
+            return
+        n_m, n_t, mx = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            n_m += len(pdf)
+            # per-batch distinct: exact within a batch; a turn whose mentions
+            # straddle micro-batches counts once per batch (monitoring-grade)
+            n_t += pdf["turn_idx"].nunique()
+            mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((n_m, n_t, mx))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [{"conv_id": conv_id, "n_mentions": n_m, "n_turns": n_t, "max_turn_idx": mx, "closed": False}]
+        )
+
+    return mentions_stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=PROGRESS_OUT_SCHEMA,
+        stateStructType=PROGRESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
     """Drain everything currently available into a parquet sink and stop."""
     q = (

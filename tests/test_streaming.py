@@ -26,3 +26,39 @@ def test_stream_mentions_equals_batch(spark, tables, fixture_dir, tmp_path):
         for r in detect_mentions(tables["transcripts"], tables["mention_terms"]).collect()
     }
     assert got == want and len(got) > 50
+
+
+def test_conversation_progress_stateful(spark, tables, fixture_dir, tmp_path):
+    """applyInPandasWithState counters after one availableNow batch must equal
+    the batch aggregation over the same mentions."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from reden_spark.streaming.ingest import conversation_progress
+
+    src_dir = tmp_path / "stateful_in"
+    src_dir.mkdir()
+    shutil.copy(fixture_dir / "transcripts.parquet", src_dir / "part-0.parquet")
+    stream = stream_transcripts(spark, str(src_dir), schemas.TRANSCRIPTS)
+    mentions = stream_mentions(stream, tables["mention_terms"])
+    out = str(tmp_path / "stateful_out")
+    ckpt = str(tmp_path / "stateful_ckpt")
+    run_available_now(conversation_progress(mentions), out, ckpt)
+
+    got = {
+        (r.conv_id, r.n_mentions, r.n_turns, r.max_turn_idx)
+        for r in spark.read.parquet(out).filter(~F.col("closed")).collect()
+    }
+    want = {
+        (r.conv_id, r.n_mentions, r.n_turns, r.max_turn_idx)
+        for r in detect_mentions(tables["transcripts"], tables["mention_terms"])
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("turn_idx").alias("n_turns"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 5
