@@ -1001,6 +1001,127 @@ SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_event
 
 
 # ---------------------------------------------------------------------------
+# Comparison / analysis extras (reference extra/ package)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_mentions_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-DataFrame gazetteer twin (broadcast join + boundary predicates +
+    maximality anti-join) — must match the pandas-UDF path's oracle exactly on
+    the derived corpus (no term repeats within a turn)."""
+    from .operators.mentions import detect_mentions_relational
+
+    transcripts = derive_transcripts(spark, sf_dir)
+    terms = derive_mention_terms(spark, sf_dir)
+    return detect_mentions_relational(transcripts, terms).select(
+        "conv_id", "turn_idx", "occ_idx", "mention", "start_pos"
+    )
+
+
+def q_kg_population_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold entities covered by the crawled KB subjects
+    (CalculatePopulationCompletenessLD semantics; even nation keys only have
+    base-URI subjects in kb_edges => completeness < 1)."""
+    from .operators.compare import population_completeness
+
+    gold = derive_gold(spark, sf_dir)
+    kb_uris = derive_kb_edges(spark, sf_dir).select(F.col("subj").alias("uri"))
+    out = population_completeness(gold, kb_uris)
+    return out.select(
+        "n_gold_entities", "n_covered", F.round("completeness", 6).alias("completeness")
+    )
+
+
+O_KG_POPULATION = (
+    SQL_PREFIX
+    + """
+SELECT g.n AS n_gold_entities, c.n AS n_covered,
+       round(c.n::DOUBLE / g.n, 6) AS completeness
+FROM (SELECT count(*) AS n FROM (SELECT DISTINCT gold_uri FROM gold WHERE gold_uri IS NOT NULL)) g,
+     (SELECT count(*) AS n FROM (SELECT DISTINCT gold_uri FROM gold WHERE gold_uri IS NOT NULL)
+      WHERE gold_uri IN (SELECT subj FROM kb_edges)) c
+"""
+)
+
+
+def q_kg_score_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score recovery from 'uri(0.123)'-style annotations
+    (SignificanceTesting.prepareData)."""
+    from .operators.compare import scores_from_annotations
+
+    nat = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    annotated = nat.select(
+        F.col("n_nationkey").cast("int").alias("key"),
+        F.concat(F.lit(f"{BASE}/nat/"), k, F.lit("(0."), k, F.lit(")")).alias("ref_auto"),
+    )
+    return scores_from_annotations(annotated).select("key", F.round("score", 6).alias("score"))
+
+
+O_KG_SCORE_EXTRACT = f"""
+SELECT CAST(n_nationkey AS INTEGER) AS key,
+       round(CAST(regexp_extract('{BASE}/nat/' || CAST(n_nationkey AS VARCHAR)
+                  || '(0.' || CAST(n_nationkey AS VARCHAR) || ')', '\\((\\d[\\d.]*)\\)', 1) AS DOUBLE), 6) AS score
+FROM nation
+"""
+
+
+def q_rel_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date->year extraction over the reference's accepted masks ('yyyy',
+    'yyyy-MM-dd', 'dd..' century mask) + pairwise life-span overlap
+    (DateSpecificProcessingNEL.java:15-63)."""
+    from .functions.text import life_span_overlap, year_from_date
+
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    k = F.col("c_custkey")
+    birth_raw = (
+        F.when(k % 3 == 0, F.concat((F.lit(1800) + k % 80).cast("string"), F.lit("-06-15")))
+        .when(k % 3 == 1, (F.lit(1800) + k % 80).cast("string"))
+        .otherwise(F.lit("18.."))
+    )
+    death_raw = (F.lit(1850) + k % 80).cast("string")
+    df = c.select(
+        k.cast("int").alias("key"),
+        birth_raw.alias("birth_raw"),
+        death_raw.alias("death_raw"),
+        year_from_date(birth_raw).alias("birth_year"),
+        year_from_date(death_raw).alias("death_year"),
+    )
+    ref_b = F.lit(1820)
+    ref_d = F.lit(1870)
+    return df.select(
+        "key",
+        "birth_year",
+        "death_year",
+        life_span_overlap(F.col("birth_year"), F.col("death_year"), ref_b, ref_d).alias("overlap_1820_1870"),
+    )
+
+
+O_REL_LIFESPAN = """
+WITH p AS (
+  SELECT CAST(c_custkey AS INTEGER) AS key,
+         CASE WHEN c_custkey % 3 = 0 THEN CAST(1800 + c_custkey % 80 AS VARCHAR) || '-06-15'
+              WHEN c_custkey % 3 = 1 THEN CAST(1800 + c_custkey % 80 AS VARCHAR)
+              ELSE '18..' END AS birth_raw,
+         CAST(1850 + c_custkey % 80 AS VARCHAR) AS death_raw
+  FROM customer WHERE c_custkey <= 200
+), y AS (
+  SELECT key,
+         CASE WHEN regexp_extract(birth_raw, '^(\\d{4})', 1) != ''
+                THEN CAST(regexp_extract(birth_raw, '^(\\d{4})', 1) AS INTEGER)
+              WHEN regexp_extract(birth_raw, '^(\\d{2})\\.\\.', 1) != ''
+                THEN CAST(regexp_extract(birth_raw, '^(\\d{2})\\.\\.', 1) AS INTEGER) * 100
+         END AS birth_year,
+         CAST(regexp_extract(death_raw, '^(\\d{4})', 1) AS INTEGER) AS death_year
+  FROM p
+)
+SELECT key, birth_year, death_year,
+       greatest(0, least(death_year, 1870) - greatest(birth_year, 1820)) AS overlap_1820_1870
+FROM y
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dictionary-build job over a derived person table
 # ---------------------------------------------------------------------------
 
@@ -1087,6 +1208,10 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "kg_occurrences": q_kg_occurrences,
     "kg_geo_enrich": q_kg_geo_enrich,
+    "kg_mentions_relational": q_kg_mentions_relational,
+    "kg_population_completeness": q_kg_population_completeness,
+    "kg_score_extract": q_kg_score_extract,
+    "rel_lifespan": q_rel_lifespan,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
@@ -1118,6 +1243,10 @@ ORACLES = {
     "ann_ivf_topk": O_ANN_IVF,
     "kg_occurrences": O_KG_OCCURRENCES,
     "kg_geo_enrich": O_KG_GEO_ENRICH,
+    "kg_mentions_relational": O_KG_MENTIONS,  # both detectors must match the same oracle
+    "kg_population_completeness": O_KG_POPULATION,
+    "kg_score_extract": O_KG_SCORE_EXTRACT,
+    "rel_lifespan": O_REL_LIFESPAN,
     "text_token_count": O_TEXT_TOKEN_COUNT,
     "text_quality": O_TEXT_QUALITY,
     "text_language_id": O_TEXT_LANGUAGE_ID,

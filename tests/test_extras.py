@@ -192,6 +192,25 @@ def test_lsh_topk_recall(emb):
     assert recall > 0.2  # LSH with few planes: sanity floor, exactness not expected
 
 
+def test_ivf_topk_recall_and_shape(emb):
+    from reden_spark.operators.similarity import cosine_topk, ivf_topk
+
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    rows = ivf_topk(emb, qids, k=5, n_list=8, n_probe=2).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    # each query returns <= k ranked rows, ranks dense from 1
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.2  # 2-of-8 cells probed: recall floor, not exactness
+    # probing all cells must recover the exact result
+    full = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, qids, k=5, n_list=8, n_probe=8).collect()}
+    assert full == exact
+
+
 def test_multimodal_plumbing(spark, docs):
     from reden_spark.operators.multimodal import (
         attach_fake_media,
