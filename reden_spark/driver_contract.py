@@ -1001,6 +1001,127 @@ SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_event
 
 
 # ---------------------------------------------------------------------------
+# Annotated-output sink + diagnostics (produceResults / printRelationFrequency)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_annotated_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-occurrence ref_auto values with the uri(score) suffix
+    (produceResults, ResultsAndEvaluationNEL.java:86-91)."""
+    from .operators.annotate import annotate_links
+
+    return annotate_links(_links(spark, sf_dir), add_scores=True)
+
+
+O_KG_ANNOTATED_REFS = (
+    SQL_PREFIX
+    + """
+SELECT conv_id, turn_idx, occ_idx, mention,
+       CASE WHEN score IS NOT NULL
+            THEN chosen_uris || '(' || CAST(score AS VARCHAR) || ')'
+            ELSE chosen_uris END AS ref_auto
+FROM links
+"""
+)
+
+
+def q_kg_annotated_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn text with [ref] markers after each linked mention — the transcript
+    analogue of the -outV3.xml sink."""
+    from .operators.annotate import annotate_turns
+
+    s = _kg_stack(spark, sf_dir)
+    links = _links(spark, sf_dir)
+    return annotate_turns(s["transcripts"], s["mentions"], links)
+
+
+O_KG_ANNOTATED_TURNS = (
+    SQL_PREFIX
+    + """
+SELECT t.conv_id, t.turn_idx,
+       'On parla de ' || t.n1 || '[' || l0.chosen_uris || '] puis de ' || t.n2
+        || '[' || l1.chosen_uris || '] ensemble.' AS annotated_text
+FROM turns_raw t
+JOIN links l0 ON l0.conv_id = t.conv_id AND l0.turn_idx = t.turn_idx AND l0.occ_idx = 0
+JOIN links l1 ON l1.conv_id = t.conv_id AND l1.turn_idx = t.turn_idx AND l1.occ_idx = 1
+"""
+)
+
+
+def q_kg_relation_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global predicate frequency over the fused conversation graphs
+    (printRelationFrequency)."""
+    from .operators.annotate import relation_frequency
+
+    s = _kg_stack(spark, sf_dir)
+    ok = s["cases"].filter(F.col("case") == "Ok").select("conv_id")
+    cand_ok = s["candidates"].join(ok, "conv_id", "left_semi")
+    edges = fuse_edges(cand_ok, s["kb_edges"], s["rel_weights"], CFG)
+    return relation_frequency(edges)
+
+
+O_KG_RELATION_FREQUENCY = SQL_PREFIX + "SELECT pred, count(*) AS n_edges FROM edges GROUP BY 1"
+
+
+def q_dico_regex_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp dictionary probe (Lucene RegexpQuery path)."""
+    from .operators.candidates import dico_regex_lookup
+
+    d = derive_dico(spark, sf_dir)
+    return dico_regex_lookup(d, "^nation_1[0-9]x$").select(
+        "alias", "alias_norm", F.concat_ws(" ", "uris").alias("uris_joined")
+    )
+
+
+O_DICO_REGEX_LOOKUP = (
+    SQL_PREFIX
+    + """
+SELECT alias, alias_norm, array_to_string(uris, ' ') AS uris_joined
+FROM dico WHERE regexp_matches(alias_norm, '^nation_1[0-9]x$')
+"""
+)
+
+
+def q_dico_geonames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geonames-dump -> dico transform over a nation-derived dump shape."""
+    from .plans.dico_build import geonames_to_dico
+
+    nat = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    raw = nat.select(
+        F.col("n_nationkey").alias("geonameid"),
+        F.col("n_name").alias("name"),
+        F.when(
+            F.col("n_nationkey") % 4 != 0, F.concat(F.lit("Alt"), k, F.lit(",Aka"), k)
+        ).alias("alternatenames"),
+    )
+    return geonames_to_dico(raw).select(
+        "alias", "alias_norm", "name", "ne_type", F.concat_ws(" ", "uris").alias("uris_joined")
+    )
+
+
+O_DICO_GEONAMES = """
+WITH raw AS (
+  SELECT n_nationkey AS geonameid, n_name AS name,
+         CASE WHEN n_nationkey % 4 != 0
+              THEN 'Alt' || CAST(n_nationkey AS VARCHAR) || ',Aka' || CAST(n_nationkey AS VARCHAR)
+         END AS alternatenames
+  FROM nation
+), names AS (
+  SELECT 'http://sws.geonames.org/' || CAST(geonameid AS VARCHAR) || '/' AS uri, name AS alias FROM raw
+  UNION ALL
+  SELECT 'http://sws.geonames.org/' || CAST(geonameid AS VARCHAR) || '/',
+         unnest(string_split(COALESCE(alternatenames, ''), ','))
+  FROM raw
+)
+SELECT DISTINCT alias,
+       lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm,
+       alias AS name, 'LOC' AS ne_type, uri AS uris_joined
+FROM names WHERE alias != ''
+"""
+
+
+# ---------------------------------------------------------------------------
 # Comparison / analysis extras (reference extra/ package)
 # ---------------------------------------------------------------------------
 
@@ -1212,6 +1333,11 @@ QUERIES = {
     "kg_population_completeness": q_kg_population_completeness,
     "kg_score_extract": q_kg_score_extract,
     "rel_lifespan": q_rel_lifespan,
+    "kg_annotated_refs": q_kg_annotated_refs,
+    "kg_annotated_turns": q_kg_annotated_turns,
+    "kg_relation_frequency": q_kg_relation_frequency,
+    "dico_regex_lookup": q_dico_regex_lookup,
+    "dico_geonames": q_dico_geonames,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
@@ -1247,6 +1373,11 @@ ORACLES = {
     "kg_population_completeness": O_KG_POPULATION,
     "kg_score_extract": O_KG_SCORE_EXTRACT,
     "rel_lifespan": O_REL_LIFESPAN,
+    "kg_annotated_refs": O_KG_ANNOTATED_REFS,
+    "kg_annotated_turns": O_KG_ANNOTATED_TURNS,
+    "kg_relation_frequency": O_KG_RELATION_FREQUENCY,
+    "dico_regex_lookup": O_DICO_REGEX_LOOKUP,
+    "dico_geonames": O_DICO_GEONAMES,
     "text_token_count": O_TEXT_TOKEN_COUNT,
     "text_quality": O_TEXT_QUALITY,
     "text_language_id": O_TEXT_LANGUAGE_ID,

@@ -46,6 +46,15 @@ def generate_candidates(mentions: DataFrame, dico: DataFrame, broadcast_dico: bo
     )
 
 
+def dico_regex_lookup(dico: DataFrame, pattern: str, limit: int | None = None) -> DataFrame:
+    """Regexp dictionary probe — the Lucene RegexpQuery path
+    (DicoProcessingNEL.searchIndexWithRegexp, DicoProcessingNEL.java:349-378):
+    a predicate-pushdown filter instead of an index scan; the reference's
+    2x10^7-hit cap becomes an optional limit."""
+    out = dico.filter(F.col("alias_norm").rlike(pattern)).select("alias", "alias_norm", "uris")
+    return out.limit(limit) if limit is not None else out
+
+
 def conversation_cases(mentions: DataFrame, candidates: DataFrame) -> DataFrame:
     """Per-conversation routing — checkConditionsToNEL (MainNELApp.java:418-442).
 

@@ -80,7 +80,9 @@ def minhash_lsh_pairs(
     output (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
     """
     r = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, shingle_n)
+    # signatures are consumed 3x (banding + both sides of the verification
+    # join); cut lineage so the 12x|shingles| md5 pass runs once
+    sigs = minhash_signatures(docs, n_hashes, shingle_n).localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id",
         "shingles",
@@ -115,8 +117,10 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs, blocked by the min shingle hash
     (documents sharing no shingle can't reach any threshold > 0)."""
-    sh = docs.select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles")).filter(
-        F.size("shingles") > 0
+    sh = (
+        docs.select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)  # consumed by blocking + both join sides
     )
     keyed = sh.withColumn("block", F.expr("array_min(transform(shingles, s -> md5(s)))"))
     pairs = (

@@ -87,6 +87,27 @@ def build_dico(
     )
 
 
+def geonames_to_dico(raw: DataFrame) -> DataFrame:
+    """Geonames dump -> dictionary rows: one row per primary + alternate name
+    (scripts/genGeonamesDico.py:21-39 — Python-2 tab-split script restated as
+    select + explode(split(alternatenames, ','))). Expects columns
+    (geonameid, name, alternatenames)."""
+    uri = F.concat(F.lit("http://sws.geonames.org/"), F.col("geonameid").cast("string"), F.lit("/"))
+    base = raw.select(uri.alias("uri"), "name", "alternatenames")
+    names = base.select("uri", F.col("name").alias("alias")).unionByName(
+        base.select("uri", F.explode(F.split(F.coalesce("alternatenames", F.lit("")), ",")).alias("alias")).filter(
+            F.col("alias") != ""
+        )
+    )
+    return names.select(
+        "alias",
+        normalize_mention("alias").alias("alias_norm"),
+        F.col("alias").alias("name"),
+        F.lit("LOC").alias("ne_type"),
+        F.array("uri").alias("uris"),
+    ).distinct()
+
+
 def write_dico(dico: DataFrame, path: str) -> None:
     """Letter-sharded dictionary table (partition pruning = the reference's
     alphabet shards)."""
