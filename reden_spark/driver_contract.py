@@ -538,6 +538,26 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_KG_TRIPLES = SQL_PREFIX + "SELECT subj, pred, obj FROM triples"
 
 
+def q_kg_correct_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mention count of correctly-linked occurrences
+    (ResultsAndEvaluationNEL.java:295-301,334-337 — the -resCorrectMentions sink)."""
+    s = _kg_stack(spark, sf_dir)
+    links = _links(spark, sf_dir)
+    gold = derive_gold(spark, sf_dir)
+    recs = eval_records(gold, links, s["candidates"])
+    return (
+        recs.filter(F.col("choice_correct"))
+        .groupBy("mention")
+        .agg(F.count("*").alias("n_correct"))
+    )
+
+
+O_KG_CORRECT_MENTIONS = (
+    SQL_PREFIX
+    + "SELECT mention, count(*) AS n_correct FROM eval_recs WHERE choice_correct GROUP BY 1"
+)
+
+
 _RATIOS = [
     "candidate_cardinality_mean",
     "candidate_precision",
@@ -1333,6 +1353,7 @@ QUERIES = {
     "kg_population_completeness": q_kg_population_completeness,
     "kg_score_extract": q_kg_score_extract,
     "rel_lifespan": q_rel_lifespan,
+    "kg_correct_mentions": q_kg_correct_mentions,
     "kg_annotated_refs": q_kg_annotated_refs,
     "kg_annotated_turns": q_kg_annotated_turns,
     "kg_relation_frequency": q_kg_relation_frequency,
@@ -1373,6 +1394,7 @@ ORACLES = {
     "kg_population_completeness": O_KG_POPULATION,
     "kg_score_extract": O_KG_SCORE_EXTRACT,
     "rel_lifespan": O_REL_LIFESPAN,
+    "kg_correct_mentions": O_KG_CORRECT_MENTIONS,
     "kg_annotated_refs": O_KG_ANNOTATED_REFS,
     "kg_annotated_turns": O_KG_ANNOTATED_TURNS,
     "kg_relation_frequency": O_KG_RELATION_FREQUENCY,

@@ -40,6 +40,24 @@ def test_mentions_stage_is_map_only(spark, tables):
     assert "codegen id" in p  # surrounding projections stay in whole-stage codegen
 
 
+def test_candidates_single_exchange(spark, tables):
+    """The distinct's hash partitioning must be reused by the group-dedup
+    aggregation through the broadcast join: exactly one shuffle in the stage."""
+    import re
+
+    mentions = detect_mentions(tables["transcripts"], tables["mention_terms"])
+    cands = generate_candidates(mentions, tables["dico"])
+    p = plan(cands)
+    # two Exchanges total: the probe distinct + the (tiny) dico-side distinct
+    # feeding the BroadcastExchange — nothing else shuffles
+    exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", p)}
+    assert len(exchange_ids) == 2, f"expected 2 Exchanges, got {len(exchange_ids)}\n{p[:1500]}"
+    # and the group-dedup aggregation reuses the join's partitioning: no
+    # Exchange appears downstream of (above) the broadcast join in the tree
+    tree_above_join = p.split("BroadcastHashJoin")[0]
+    assert "Exchange" not in tree_above_join, tree_above_join
+
+
 def test_enrich_and_compare_ops(spark, tables, fixture_dir):
     import json
 
