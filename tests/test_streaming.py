@@ -28,6 +28,44 @@ def test_stream_mentions_equals_batch(spark, tables, fixture_dir, tmp_path):
     assert got == want and len(got) > 50
 
 
+def test_mention_rate_windowed_agg(spark, tables, fixture_dir, tmp_path):
+    """Watermarked sliding-window mention counts: complete-mode drain must equal
+    the equivalent batch window aggregation."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from reden_spark.operators.mentions import detect_mentions
+    from reden_spark.streaming.ingest import mention_rate
+
+    src_dir = tmp_path / "rate_in"
+    src_dir.mkdir()
+    shutil.copy(fixture_dir / "transcripts.parquet", src_dir / "part-0.parquet")
+    stream = stream_transcripts(spark, str(src_dir), schemas.TRANSCRIPTS)
+    q = (
+        mention_rate(stream_mentions(stream, tables["mention_terms"]))
+        .writeStream.format("memory")
+        .queryName("mrate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window.start, r.window.end, r.mention, r["count"])
+        for r in spark.sql("SELECT * FROM mrate").collect()
+    }
+    want = {
+        (r.window.start, r.window.end, r.mention, r["count"])
+        for r in detect_mentions(tables["transcripts"], tables["mention_terms"])
+        .join(tables["transcripts"].select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "mention")
+        .count()
+        .collect()
+    }
+    assert got == want and len(got) > 20
+
+
 def test_conversation_progress_stateful(spark, tables, fixture_dir, tmp_path):
     """applyInPandasWithState counters after one availableNow batch must equal
     the batch aggregation over the same mentions."""
