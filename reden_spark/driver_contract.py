@@ -676,21 +676,41 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), 3, 0.8)
 
 
+# 2-of-4 min-shingle band keys — mirrors dedup._min_shingle_band_keys exactly
+_DUCK_NGRAM_BANDS = """
+, keyed0 AS (
+  SELECT doc_id, shingles, list_slice(list_sort([md5(s) FOR s IN shingles]), 1, 4) AS m
+  FROM sh WHERE len(shingles) > 0
+), keyed AS (
+  SELECT doc_id, unnest(list_filter([
+      CASE WHEN len(m) = 1 THEN m[1] || '|' || m[1] END,
+      CASE WHEN len(m) >= 2 THEN m[1] || '|' || m[2] END,
+      CASE WHEN len(m) >= 3 THEN m[1] || '|' || m[3] END,
+      CASE WHEN len(m) >= 3 THEN m[2] || '|' || m[3] END,
+      CASE WHEN len(m) >= 4 THEN m[1] || '|' || m[4] END,
+      CASE WHEN len(m) >= 4 THEN m[2] || '|' || m[4] END,
+      CASE WHEN len(m) >= 4 THEN m[3] || '|' || m[4] END
+    ], x -> x IS NOT NULL)) AS block
+  FROM keyed0
+)
+"""
+
 O_DEDUP_NGRAM = (
     _DUCK_SHINGLES.format(nm1=2)
+    + _DUCK_NGRAM_BANDS
     + """
-, keyed AS (
-  SELECT doc_id, shingles, list_min([md5(s) FOR s IN shingles]) AS block
-  FROM sh WHERE len(shingles) > 0
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sh_a, b.shingles AS sh_b
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM keyed a JOIN keyed b USING (block) WHERE a.doc_id < b.doc_id
+), paired AS (
+  SELECT p.doc_a, p.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b
 )
 SELECT * FROM (
   SELECT doc_a, doc_b,
          round(len(list_intersect(sh_a, sh_b))::DOUBLE /
                (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
-  FROM pairs
+  FROM paired
 ) WHERE jaccard >= 0.8
 """
 )
@@ -775,10 +795,27 @@ SELECT query_id, rank, neighbor_id FROM (
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # numpy hyperplane LSH blocking: rows-only check (no SQL oracle)
+    # Sign-LSH with integer hyperplanes evaluated as Column expressions: fully
+    # oracle-checkable (round 1 ran threshold=0.9 which yields 0 rows on the
+    # synthetic random-vector corpus — an empty result validates nothing; 0.3
+    # yields ~150 verified pairs at sf0.01).
     from .operators.similarity import pairwise_dup_candidates
 
-    return pairwise_dup_candidates(_read(spark, sf_dir, "embeddings"), threshold=0.9, n_planes=4)
+    return pairwise_dup_candidates(_read(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4)
+
+
+def _o_dedup_embedding() -> str:
+    from .operators.similarity import signlsh_bucket_sql
+
+    bucket = signlsh_bucket_sql("embedding", 64, n_planes=4)
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT id_a, id_b, sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE sim >= 0.3
+"""
 
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1001,7 +1038,12 @@ def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     return (
         ev.withColumn("prev_ts", prev)
-        .withColumn("gap_s", F.expr("timestampdiff(SECOND, prev_ts, ts)"))
+        # Gap on truncated epoch seconds: Spark's timestampdiff(SECOND,...)
+        # counts *complete elapsed* seconds while DuckDB's date_diff('second')
+        # counts second-boundary crossings; with fractional-µs timestamps a
+        # borderline 1800s gap classifies differently (round-1 hash fail).
+        # unix_timestamp() truncates to the epoch second in both engines.
+        .withColumn("gap_s", F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
         .withColumn("new_sess", F.when(F.col("prev_ts").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0))
         .groupBy("user_id")
         .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
@@ -1100,6 +1142,66 @@ SELECT alias, alias_norm, array_to_string(uris, ' ') AS uris_joined
 FROM dico WHERE regexp_matches(alias_norm, '^nation_1[0-9]x$')
 """
 )
+
+
+def q_dico_build_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Place-source dictionary build (QueryPlaceDBpedia/WikiData semantics:
+    language filter, letter shard, type gate, sameAs prefix filter, alt-label
+    aliases, lat/lon typed columns) over a nation-derived place dump."""
+    from .plans.dico_build import build_place_dico
+
+    n = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    ks = k.cast("string")
+    places = n.select(
+        F.concat(F.lit("http://kb.test/place/"), ks).alias("uri"),
+        F.col("n_name").alias("label"),
+        F.when(k % 5 == 0, "en").otherwise("fr").alias("label_lang"),
+        F.when(k % 2 == 0, F.concat(F.lit("Alt "), F.col("n_name"))).alias("alt_label"),
+        F.when(k % 4 == 0, "en").otherwise("fr").alias("alt_lang"),
+        (k % 7 != 0).alias("is_place"),
+        (k.cast("double") * 1.5).alias("lat"),
+        (k.cast("double") * -0.5).alias("lon"),
+        F.when(k % 3 == 0, F.concat(F.lit("http://dbpedia.org/resource/P"), ks))
+        .otherwise(F.concat(F.lit("http://other.kb/P"), ks))
+        .alias("sameas"),
+    )
+    return build_place_dico(places).select(
+        "alias", "alias_norm", "name", "letter", "lat", "lon",
+        F.concat_ws(" ", "uris").alias("uris_joined"),
+    )
+
+
+O_DICO_BUILD_PLACES = """
+WITH places AS (
+  SELECT 'http://kb.test/place/' || CAST(n_nationkey AS VARCHAR) AS uri,
+         n_name AS label,
+         CASE WHEN n_nationkey % 5 = 0 THEN 'en' ELSE 'fr' END AS label_lang,
+         CASE WHEN n_nationkey % 2 = 0 THEN 'Alt ' || n_name END AS alt_label,
+         CASE WHEN n_nationkey % 4 = 0 THEN 'en' ELSE 'fr' END AS alt_lang,
+         n_nationkey % 7 != 0 AS is_place,
+         CAST(n_nationkey AS DOUBLE) * 1.5 AS lat,
+         CAST(n_nationkey AS DOUBLE) * -0.5 AS lon,
+         CASE WHEN n_nationkey % 3 = 0 THEN 'http://dbpedia.org/resource/P' || CAST(n_nationkey AS VARCHAR)
+              ELSE 'http://other.kb/P' || CAST(n_nationkey AS VARCHAR) END AS sameas
+  FROM nation
+), filtered AS (
+  SELECT *,
+         CASE WHEN regexp_matches(lower(substr(label, 1, 1)), '^[a-z]$')
+              THEN lower(substr(label, 1, 1)) ELSE 'other' END AS letter,
+         CASE WHEN sameas LIKE 'http://dbpedia.org/%' THEN uri || ' ' || sameas ELSE uri END AS uris_joined
+  FROM places WHERE is_place AND lower(label_lang) = 'fr'
+), rows_ AS (
+  SELECT label AS alias, label, uris_joined, letter, lat, lon FROM filtered
+  UNION ALL
+  SELECT alt_label, label, uris_joined, letter, lat, lon FROM filtered
+  WHERE alt_label IS NOT NULL AND lower(alt_lang) = 'fr'
+)
+SELECT DISTINCT alias,
+       lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm,
+       label AS name, letter, lat, lon, uris_joined
+FROM rows_ WHERE alias != ''
+"""
 
 
 def q_dico_geonames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1359,6 +1461,7 @@ QUERIES = {
     "kg_relation_frequency": q_kg_relation_frequency,
     "dico_regex_lookup": q_dico_regex_lookup,
     "dico_geonames": q_dico_geonames,
+    "dico_build_places": q_dico_build_places,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
@@ -1384,8 +1487,10 @@ ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_minhash_lsh": O_DEDUP_MINHASH,
     "dedup_ngram_jaccard": O_DEDUP_NGRAM,
+    "dedup_embedding": _o_dedup_embedding(),
     # dedup_simhash / ann_lsh_topk / media_features: engine-specific internals,
-    # intentionally rows-only (no SQL oracle)
+    # intentionally rows-only (no SQL oracle; simhash has a brute-force numpy
+    # parity test in tests/test_extras.py instead)
     "ann_cosine_topk": O_ANN_COSINE,
     "ann_ivf_topk": O_ANN_IVF,
     "kg_occurrences": O_KG_OCCURRENCES,
@@ -1400,6 +1505,7 @@ ORACLES = {
     "kg_relation_frequency": O_KG_RELATION_FREQUENCY,
     "dico_regex_lookup": O_DICO_REGEX_LOOKUP,
     "dico_geonames": O_DICO_GEONAMES,
+    "dico_build_places": O_DICO_BUILD_PLACES,
     "text_token_count": O_TEXT_TOKEN_COUNT,
     "text_quality": O_TEXT_QUALITY,
     "text_language_id": O_TEXT_LANGUAGE_ID,

@@ -5,11 +5,15 @@ CentralityHandler.java:196-213); the north rule requires cross-partition URI
 fusion. Implemented as connected components over the sameAs edge DataFrame via
 iterative min-label propagation (GraphFrames-style, no external dependency):
 
-    label(v) <- min(label(v), min(label(n)) for n in neighbors(v))   until fixpoint
+    label(v) <- min(label(v), min(label(n)) for n in neighbors(v))   # propagate
+    label(v) <- min(label(v), label(label(v)))                        # pointer-jump
 
-Converges in O(log(diameter)) rounds with large-star/small-star-ish behavior on
-the doubled edge list; each round is one shuffle (groupBy v). Lineage is cut per
-round with localCheckpoint so the plan doesn't grow unboundedly.
+Plain neighbor-min propagation alone converges in O(diameter) rounds; the
+pointer-jumping step (label-of-label, Shiloach–Vishkin style) halves the
+distance to the component minimum each round, giving O(log(diameter)) rounds.
+Each round is two shuffles (neighbor groupBy + self-join); lineage is cut per
+round with localCheckpoint so the plan doesn't grow unboundedly. Exhausting
+max_iter without a fixpoint raises instead of silently returning wrong labels.
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     labels = adj.groupBy("a").agg(F.min("b").alias("label")).withColumnRenamed("a", "v")
     labels = labels.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         # propagate: new label of v = min(label of v, min over neighbors' labels)
         nbr_labels = (
@@ -44,17 +49,34 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             labels.join(nbr_labels, "v", "left")
             .select("v", F.least("label", F.coalesce("new_label", "label")).alias("label"))
         )
-        merged = merged.localCheckpoint(eager=True)
+        # pointer-jump: label(v) <- label(label(v)). Labels are vertices (every
+        # label is a min over b-values, all of which appear as v keys), so the
+        # self-join is total; 'left' + coalesce guards the fixpoint rows anyway.
+        jumped = (
+            merged.join(
+                merged.select(F.col("v").alias("label"), F.col("label").alias("ll")),
+                "label",
+                "left",
+            )
+            .select("v", F.least("label", F.coalesce("ll", "label")).alias("label"))
+        )
+        jumped = jumped.localCheckpoint(eager=True)
         changed = (
-            merged.withColumnRenamed("label", "nl")
+            jumped.withColumnRenamed("label", "nl")
             .join(labels, "v")
             .filter(F.col("nl") != F.col("label"))
             .limit(1)
             .count()
         )
-        labels = merged
+        labels = jumped
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels would be silently wrong — raise max_iter"
+        )
     return labels.select(F.col("v").alias("uri"), F.col("label").alias("canonical"))
 
 

@@ -73,11 +73,21 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     bands: int = 4,
     threshold: float = 0.5,
+    salt: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact Jaccard.
 
     rows-per-band r = n_hashes/bands; candidates = docs sharing any band key;
     output (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+
+    ``salt > 1`` is the hot-band guard for skewed corpora (e.g. one boilerplate
+    band shared by millions of docs): the left side of the pair join gets a
+    deterministic salt ``xxhash64(doc_id) % salt`` and the right side is
+    replicated to every salt value, so the candidate PAIR SET is unchanged
+    (each pair meets exactly once, at the left doc's salt) but a band of size B
+    fans out over `salt` tasks of ~B/salt x B instead of one B x B task. Pure
+    skew mitigation — identical results (pytest-pinned), `salt`x replication
+    cost on the right side, so enable it only when band-size skew is expected.
     """
     r = n_hashes // bands
     # signatures are consumed 3x (banding + both sides of the verification
@@ -97,8 +107,14 @@ def minhash_lsh_pairs(
     # expensive anti-pattern this avoids
     left = banded.select(F.col("doc_id").alias("doc_a"), "band_key")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
+    if salt > 1:
+        left = left.withColumn("s", F.pmod(F.xxhash64("doc_a"), F.lit(salt)))
+        right = right.withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>")))
+        join_keys = ["band_key", "s"]
+    else:
+        join_keys = ["band_key"]
     pairs = (
-        left.join(right, "band_key").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+        left.join(right, join_keys).filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
     )
     sh = sigs.select("doc_id", "shingles")
     pairs = (
@@ -114,15 +130,51 @@ def minhash_lsh_pairs(
     )
 
 
+def _min_shingle_band_keys():
+    """2-of-4 min-shingle band keys over the `shingles` column: block key =
+    concatenated pair of two of the document's 4 smallest shingle md5s (6 keys
+    per doc; single-shingle docs fall back to a self-pair key).
+
+    Why pairs, not the single min shingle: one globally common shingle that
+    happens to be the corpus-wide md5 minimum would put EVERY document in one
+    block -> quadratic pair join. A pair key requires two shared min-shingles,
+    so a single ubiquitous shingle creates no giant block (adversarial test in
+    tests/test_extras.py). Near-dup docs at Jaccard >= 0.8 share nearly all
+    shingles, so their 4-smallest sets overlap in >= 2 elements essentially
+    always; the DuckDB oracle mirrors this formula exactly."""
+    mins = F.slice(F.array_sort(F.expr("transform(shingles, s -> md5(s))")), 1, 4)
+    n = F.size(mins)
+
+    def m(i):
+        return F.element_at(mins, i)
+
+    def pair(i, j, need):
+        return F.when(n >= need, F.concat_ws("|", m(i), m(j)))
+
+    keys = F.array(
+        F.when(n == 1, F.concat_ws("|", m(1), m(1))),
+        pair(1, 2, 2),
+        pair(1, 3, 3),
+        pair(2, 3, 3),
+        pair(1, 4, 4),
+        pair(2, 4, 4),
+        pair(3, 4, 4),
+    )
+    return F.filter(keys, lambda x: x.isNotNull())
+
+
 def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs, blocked by the min shingle hash
-    (documents sharing no shingle can't reach any threshold > 0)."""
+    """n-gram-Jaccard near-dup pairs with exact verification, blocked on
+    2-of-4 min-shingle band keys (see :func:`_min_shingle_band_keys` for the
+    hot-block rationale). Candidates sharing a band key are verified with the
+    exact Jaccard; recall is banding-limited like any LSH scheme, but the
+    DuckDB oracle computes the identical banded formula, so parity is exact."""
     sh = (
         docs.select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .localCheckpoint(eager=False)  # consumed by blocking + both join sides
     )
-    keyed = sh.withColumn("block", F.expr("array_min(transform(shingles, s -> md5(s)))"))
+    keyed = sh.select("doc_id", F.explode(_min_shingle_band_keys()).alias("block"))
     pairs = (
         keyed.select(F.col("doc_id").alias("doc_a"), "block")
         .join(keyed.select(F.col("doc_id").alias("doc_b"), "block"), "block")
@@ -167,15 +219,30 @@ def simhash64(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
 
 
 def simhash_near_pairs(docs: DataFrame, shingle_n: int = 2, max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup candidates: block on 16-bit chunks (two docs within
-    hamming distance <= 3 chunks share at least one exact chunk), verify with
-    bit_count of xor."""
+    """SimHash near-dup pairs: block on equal bit-chunks, verify with
+    bit_count(xor). The chunk count is DERIVED from max_hamming so the
+    pigeonhole guarantee always holds: hashes within hamming distance h differ
+    in at most h chunks, so with n_chunks >= h+1 the pair shares at least one
+    exact chunk — recall is 1.0 within max_hamming (parity test vs a
+    brute-force numpy oracle in tests/test_extras.py).
+
+    Scale note: more chunks = narrower chunk values = coarser blocks (16
+    chunks of 4 bits have only 16*16 distinct block keys). At 100 TB keep
+    max_hamming <= 7 (8 chunks of 8 bits) or <= 3 (4 chunks of 16 bits);
+    larger radii need combination blocking (Manku et al., WWW'07)."""
+    for n_chunks in (4, 8, 16, 32):
+        if n_chunks >= max_hamming + 1:
+            break
+    else:
+        raise ValueError(f"max_hamming={max_hamming} > 31 unsupported (needs >31 chunks)")
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
     h = simhash64(docs, shingle_n)
     chunks = h.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
-    ).withColumn("chunk_val", F.expr("shiftright(simhash, c * 16) & 65535"))
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
+    ).withColumn("chunk_val", F.expr(f"shiftright(simhash, c * {bits}) & {mask}"))
     left = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "c", "chunk_val")
     right = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "c", "chunk_val")
     pairs = (

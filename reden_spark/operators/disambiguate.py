@@ -35,6 +35,14 @@ class NELConfig:
     base_prefix: str  # `baseURIs`
     preferred_uri: str  # `preferedURIOrder` ('ALL' or a prefix)
     sameas_pred: str = SAME_AS  # `sameAsproperty`
+    # `centralityMeasure` (CentralityHandler.java:137-152); every shipped
+    # reference config uses DegreeCentrality. The relational path implements
+    # Degree + Eigenvector; Brandes/Freeman are per-conversation algorithms
+    # served by the grouped variant (grouped.py).
+    centrality: str = "DegreeCentrality"
+    # `crawlSameAs` (GraphHandlerNEL.java:143-167): restrict sameAs expansion
+    # to objects with this prefix; "ALL" = no restriction.
+    crawl_sameas: str = "ALL"
 
 
 def _group_members(candidates: DataFrame) -> DataFrame:
@@ -67,6 +75,10 @@ def fuse_edges(candidates: DataFrame, kb_edges: DataFrame, rel_weights: DataFram
     sameas = kb_edges.filter(F.col("pred") == cfg.sameas_pred).select(
         F.col("subj").alias("member"), F.col("obj").alias("sameas_obj")
     )
+    # crawlSameAs prefix restriction applies to case-1 expansion only
+    # (GraphHandlerNEL.java:143-167: startsWith on the raw sameAs object)
+    if cfg.crawl_sameas != "ALL":
+        sameas = sameas.filter(F.col("sameas_obj").startswith(cfg.crawl_sameas))
     # aliases from base members' sameAs links (case 1, GraphHandlerNEL.java:131-168)
     alias_from_sameas = (
         members.filter(is_base)
@@ -135,14 +147,9 @@ def inverted_index(candidates: DataFrame) -> DataFrame:
     return keys.groupBy("conv_id", "v").agg(F.max("mention").alias("inv_mention"))
 
 
-def prune_and_degree(
-    edges: DataFrame, candidates: DataFrame, cfg: NELConfig
-) -> DataFrame:
-    """Prune <2-mention bridges, then degree per surviving vertex.
-
-    Returns (conv_id, v, degree). Vertex set = edge endpoints plus isolated base
-    vertices (degree 0 is implicit — score lookup later coalesces to 0).
-    """
+def pruned_edges(edges: DataFrame, candidates: DataFrame, cfg: NELConfig) -> DataFrame:
+    """Drop <2-mention-bridge vertices, keep edges between survivors
+    (CentralityHandler.java:100-122). Returns (conv_id, src, dst, pred, weight)."""
     # colored/inv/survivors are each consumed by 2-3 downstream branches and
     # edges by 3; without cutting lineage Spark re-executes the whole upstream
     # join pipeline per consumer (ReusedExchange misses differently-pruned
@@ -170,14 +177,90 @@ def prune_and_degree(
         .localCheckpoint(eager=False)
     )
 
-    pruned = (
+    return (
         edges.join(survivors.withColumnRenamed("v", "src"), ["conv_id", "src"], "left_semi")
         .join(survivors.withColumnRenamed("v", "dst"), ["conv_id", "dst"], "left_semi")
     )
+
+
+def prune_and_degree(
+    edges: DataFrame, candidates: DataFrame, cfg: NELConfig
+) -> DataFrame:
+    """Prune <2-mention bridges, then degree per surviving vertex.
+
+    Returns (conv_id, v, degree). Vertex set = edge endpoints plus isolated base
+    vertices (degree 0 is implicit — score lookup later coalesces to 0).
+    """
+    pruned = pruned_edges(edges, candidates, cfg)
     return (
         pruned.select("conv_id", F.explode(F.array("src", "dst")).alias("v"))
         .groupBy("conv_id", "v")
         .agg(F.count("*").cast("double").alias("degree"))
+    )
+
+
+def eigenvector_scores(pruned: DataFrame, iters: int | None = None) -> DataFrame:
+    """Relational EigenvectorCentrality (CentralityHandler.java:147-148):
+    unweighted symmetric power iteration over the pruned per-conversation edges,
+    max-normalized per conversation and rounded to 12 decimals each round — the
+    exact twin of oracle.eigenvector_centrality (same iteration count, same
+    quantization, which is what pins float determinism across engines: Spark
+    sums neighbor scores in arbitrary order).
+
+    Each round is two shuffles keyed on (conv_id, v)/(conv_id); iteration count
+    is fixed (no convergence count() round-trips) so the job stays a static DAG
+    of depth O(iters) — at cluster scale this is iters x one co-partitioned
+    aggregate over conversation-grain data, not turn-grain."""
+    from .. import oracle as _oracle
+
+    if iters is None:
+        iters = _oracle.EIGEN_ITERS
+    sym = (
+        pruned.select("conv_id", F.col("src").alias("v"), F.col("dst").alias("n"))
+        .unionByName(pruned.select("conv_id", F.col("dst").alias("v"), F.col("src").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verts = sym.select("conv_id", "v").distinct().localCheckpoint(eager=False)
+    x = verts.withColumn("score", F.lit(1.0))
+    for _ in range(iters):
+        nbr = (
+            sym.join(x.select("conv_id", F.col("v").alias("n"), "score"), ["conv_id", "n"])
+            .groupBy("conv_id", "v")
+            .agg(F.sum("score").alias("ns"))
+        )
+        mx = nbr.groupBy("conv_id").agg(F.max("ns").alias("mx"))
+        x = (
+            verts.join(nbr, ["conv_id", "v"], "left")
+            .join(mx, "conv_id", "left")
+            .select(
+                "conv_id",
+                "v",
+                F.when(
+                    F.col("mx") > 0, F.round(F.coalesce("ns", F.lit(0.0)) / F.col("mx"), 12)
+                )
+                .otherwise(F.lit(0.0))
+                .alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return x.select("conv_id", "v", F.col("score").alias("degree"))
+
+
+def centrality(edges: DataFrame, candidates: DataFrame, cfg: NELConfig) -> DataFrame:
+    """Prune + per-vertex centrality score under cfg.centrality. The relational
+    path serves DegreeCentrality (default in every shipped reference config) and
+    EigenvectorCentrality; Brandes betweenness / Freeman closeness are
+    inherently per-conversation graph traversals — use disambiguate_grouped,
+    whose kernel dispatches all four via oracle.centrality_scores."""
+    if cfg.centrality == "DegreeCentrality":
+        return prune_and_degree(edges, candidates, cfg)
+    if cfg.centrality == "EigenvectorCentrality":
+        return eigenvector_scores(pruned_edges(edges, candidates, cfg))
+    raise ValueError(
+        f"centralityMeasure {cfg.centrality!r} is not relationally expressible; "
+        "use disambiguate_grouped (applyInPandas kernel) for "
+        "BrandesBetweennessCentrality / FreemanClosenessCentrality"
     )
 
 
@@ -264,8 +347,8 @@ def disambiguate(
     cand_simple = candidates.join(simple_convs, "conv_id", "left_semi")
 
     edges = fuse_edges(cand_ok, kb_edges, rel_weights, cfg).localCheckpoint(eager=False)
-    degrees = prune_and_degree(edges, cand_ok, cfg)
-    graph_chosen = choose_links(cand_ok, degrees, cfg).withColumn("path", F.lit("graph"))
+    scores = centrality(edges, cand_ok, cfg)
+    graph_chosen = choose_links(cand_ok, scores, cfg).withColumn("path", F.lit("graph"))
     simple_chosen = simple_links(cand_simple).withColumn("path", F.lit("simple"))
     chosen = graph_chosen.unionByName(simple_chosen)
 

@@ -66,6 +66,7 @@ def disambiguate_grouped(
     """Same contract as disambiguate.disambiguate, graph path via applyInPandas."""
     rels = {r["pred"].lower(): float(r["weight"]) for r in rel_weights.collect()}
     base_prefix, preferred = cfg.base_prefix, cfg.preferred_uri
+    measure, crawl_sameas = cfg.centrality, cfg.crawl_sameas
 
     ok_convs = cases.filter(F.col("case") == "Ok").select("conv_id")
     simple_convs = cases.filter(F.col("case") == "NoAmbiguity").select("conv_id")
@@ -102,11 +103,13 @@ def disambiguate_grouped(
         kb = oracle.KB.from_rows(kb_triples)
 
         colored = oracle._colored_nodes(cand_map, base_prefix)
-        vertices, edges = oracle.fuse_graph(cand_map, kb, base_prefix, rels)
+        vertices, edges = oracle.fuse_graph(cand_map, kb, base_prefix, rels, crawl_sameas)
         inverted = oracle.build_inverted_index(cand_map)
         vertices, edges = oracle.prune_graph(vertices, edges, colored, inverted)
-        degrees = oracle.degree_centrality(vertices, edges)
-        chosen = oracle.choose_uris(cand_map, colored, degrees, preferred)
+        # full centralityMeasure dispatch (CentralityHandler.java:137-152):
+        # Degree / BrandesBetweenness / FreemanCloseness / Eigenvector
+        scores = oracle.centrality_scores(vertices, edges, measure)
+        chosen = oracle.choose_uris(cand_map, colored, scores, preferred)
         return pd.DataFrame(
             [
                 {"conv_id": conv_id, "mention": m, "chosen_uris": u, "score": s}

@@ -148,12 +148,58 @@ def ivf_topk(
     )
 
 
-def pairwise_dup_candidates(embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 6) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH blocking (the embedding twin
-    of dedup.minhash_lsh_pairs)."""
+def int_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Integer-valued sign-LSH hyperplanes in [-4, 4]. Integer weights keep the
+    dot products exactly representable, so the identical formula evaluates to
+    the same sign in Spark and DuckDB — which is what makes
+    :func:`pairwise_dup_candidates` fully oracle-checkable."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(-4, 5, size=(n_planes, dim))
+
+
+def signlsh_bucket_col(col, dim: int, n_planes: int = 4, seed: int = 7):
+    """Sign-LSH bucket id as a pure Column expression (zip_with + aggregate —
+    JVM-side whole-stage codegen, no Python in the hot path). For very high
+    dim x n_planes the Arrow-batched :func:`lsh_bucket_udf` is the vectorized
+    alternative; at typical embedding widths the codegen form wins and is
+    engine-portable."""
+    planes = int_hyperplanes(dim, n_planes, seed)
+    total = F.lit(0)
+    for p in range(n_planes):
+        arr = F.array(*[F.lit(float(w)) for w in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(col, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        total = total + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return total
+
+
+def signlsh_bucket_sql(expr: str, dim: int, n_planes: int = 4, seed: int = 7) -> str:
+    """The DuckDB twin of :func:`signlsh_bucket_col` (same planes, same fold)."""
+    planes = int_hyperplanes(dim, n_planes, seed)
+    terms = []
+    for p in range(n_planes):
+        lits = ", ".join(str(float(w)) for w in planes[p])
+        dot = (
+            f"list_sum(list_transform(list_zip({expr}, [{lits}]), p -> p[1]::DOUBLE * p[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def pairwise_dup_candidates(
+    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 4, seed: int = 7
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking (the
+    embedding twin of dedup.minhash_lsh_pairs): only same-bucket pairs are
+    scored, then verified with the exact cosine. Bucketing and verification
+    are both pure Column expressions, mirrored 1:1 by the DuckDB oracle."""
     dim = len(embeddings.select("embedding").first()[0])
-    bucket = lsh_bucket_udf(dim, n_planes)
-    e = embeddings.withColumn("bucket", bucket(F.col("embedding")))
+    e = embeddings.withColumn(
+        "bucket", signlsh_bucket_col(F.col("embedding"), dim, n_planes, seed)
+    )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
     return (

@@ -105,10 +105,14 @@ def _colored_nodes(cands: dict[str, list[Group]], base_prefix: str) -> set[str]:
     return colored
 
 
-def _alias_map(cands: dict[str, list[Group]], kb: KB, base_prefix: str) -> dict[str, set[str]]:
+def _alias_map(
+    cands: dict[str, list[Group]], kb: KB, base_prefix: str, crawl_sameas: str = "ALL"
+) -> dict[str, set[str]]:
     """base URI -> equivalent (decomposed) URIs — retrieveAndLoadSameAsRDFData
     (GraphHandlerNEL.java:114-197): per group, sameAs objects of base members +
-    non-base group members; keyed by the group's last base member."""
+    non-base group members; keyed by the group's last base member. The
+    `crawlSameAs` prefix (:143-167) restricts the case-1 (sameAs-object)
+    expansion only — case-2 dictionary members always load."""
     out: dict[str, set[str]] = defaultdict(set)
     for groups in cands.values():
         for group in groups:
@@ -118,7 +122,8 @@ def _alias_map(cands: dict[str, list[Group]], kb: KB, base_prefix: str) -> dict[
                 if base_prefix in uri:
                     base = uri
                     for obj in kb.sameas.get(uri, []):
-                        aliases.add(decompose_py(obj))
+                        if crawl_sameas == "ALL" or obj.startswith(crawl_sameas):
+                            aliases.add(decompose_py(obj))
                 else:
                     aliases.add(decompose_py(uri))
             out[base] |= aliases
@@ -130,6 +135,7 @@ def fuse_graph(
     kb: KB,
     base_prefix: str,
     rel_weights: dict[str, float],
+    crawl_sameas: str = "ALL",
 ) -> tuple[set[str], dict[tuple[str, str], tuple[str, float]]]:
     """GraphHandlerNEL.fuseRDFGraphsIntoJGTGraph (:211-343).
 
@@ -139,7 +145,7 @@ def fuse_graph(
     raw-subject triples are re-probed with a %-encoded last path segment
     (:293-330); sameAs predicates and self-loops are skipped.
     """
-    alias_map = _alias_map(cands, kb, base_prefix)
+    alias_map = _alias_map(cands, kb, base_prefix, crawl_sameas)
     base_uris: set[str] = set()
     for groups in cands.values():
         for group in groups:
@@ -226,6 +232,122 @@ def degree_centrality(
     return deg
 
 
+def _sym_adj(edges: dict[tuple[str, str], tuple[str, float]]) -> dict[str, set[str]]:
+    adj: dict[str, set[str]] = defaultdict(set)
+    for (s, d) in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    return adj
+
+
+EIGEN_ITERS = 12
+
+
+def eigenvector_centrality(
+    vertices: set[str], edges: dict[tuple[str, str], tuple[str, float]], iters: int = EIGEN_ITERS
+) -> dict[str, float]:
+    """Unweighted symmetric power iteration, max-normalized and rounded to 12
+    decimals per round (the rounding pins cross-engine float determinism: the
+    Spark twin sums neighbor scores in arbitrary order, so both sides quantize
+    after each normalization). Deterministic spec for the reference's
+    EigenvectorCentrality (CentralityHandler.java:147-148) — argmax semantics,
+    not bit-level jgrapht-sna parity."""
+    adj = _sym_adj(edges)
+    x = {v: 1.0 for v in vertices}
+    for _ in range(iters):
+        nx = {v: sum(x[n] for n in sorted(adj.get(v, ()))) for v in vertices}
+        mx = max(nx.values(), default=0.0)
+        x = {v: round(nx[v] / mx, 12) if mx > 0 else 0.0 for v in vertices}
+    return x
+
+
+def closeness_centrality(
+    vertices: set[str], edges: dict[tuple[str, str], tuple[str, float]]
+) -> dict[str, float]:
+    """Freeman closeness (CentralityHandler.java:144-146) as
+    reachable_count / sum(BFS distances) over the undirected unweighted graph;
+    0.0 for isolated vertices. Deterministic rational arithmetic rounded to 12
+    decimals."""
+    adj = _sym_adj(edges)
+    out: dict[str, float] = {}
+    for v in vertices:
+        dist = {v: 0}
+        frontier = [v]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for n in adj.get(u, ()):
+                    if n not in dist:
+                        dist[n] = d
+                        nxt.append(n)
+            frontier = nxt
+        far = sum(dist.values())
+        out[v] = round((len(dist) - 1) / far, 12) if far > 0 else 0.0
+    return out
+
+
+def betweenness_centrality(
+    vertices: set[str], edges: dict[tuple[str, str], tuple[str, float]]
+) -> dict[str, float]:
+    """Brandes betweenness (CentralityHandler.java:141-143) on the undirected
+    unweighted graph — the classic O(VE) accumulation, rounded to 12 decimals."""
+    adj = _sym_adj(edges)
+    cb: dict[str, float] = {v: 0.0 for v in vertices}
+    for s in sorted(vertices):
+        stack: list[str] = []
+        preds: dict[str, list[str]] = defaultdict(list)
+        sigma = {v: 0.0 for v in vertices}
+        sigma[s] = 1.0
+        dist = {s: 0}
+        queue = [s]
+        while queue:
+            v = queue.pop(0)
+            stack.append(v)
+            for w in sorted(adj.get(v, ())):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in vertices}
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                cb[w] += delta[w]
+    return {v: round(c / 2.0, 12) for v, c in cb.items()}  # undirected: halve
+
+
+CENTRALITY_MEASURES = (
+    "DegreeCentrality",
+    "BrandesBetweennessCentrality",
+    "FreemanClosenessCentrality",
+    "EigenvectorCentrality",
+)
+
+
+def centrality_scores(
+    vertices: set[str],
+    edges: dict[tuple[str, str], tuple[str, float]],
+    measure: str = "DegreeCentrality",
+) -> dict[str, float]:
+    """Measure dispatch — mirrors the reference's `centralityMeasure` selection
+    (CentralityHandler.java:137-152; every shipped config uses DegreeCentrality)."""
+    if measure == "DegreeCentrality":
+        return degree_centrality(vertices, edges)
+    if measure == "BrandesBetweennessCentrality":
+        return betweenness_centrality(vertices, edges)
+    if measure == "FreemanClosenessCentrality":
+        return closeness_centrality(vertices, edges)
+    if measure == "EigenvectorCentrality":
+        return eigenvector_centrality(vertices, edges)
+    raise ValueError(f"unknown centralityMeasure {measure!r}; one of {CENTRALITY_MEASURES}")
+
+
 def choose_uris(
     cands: dict[str, list[Group]],
     colored: set[str],
@@ -278,6 +400,8 @@ def disambiguate_conversation(
     rel_weights: dict[str, float],
     base_prefix: str,
     preferred_uri: str,
+    measure: str = "DegreeCentrality",
+    crawl_sameas: str = "ALL",
 ) -> list[dict]:
     """Full per-conversation kernel; returns link rows (one per occurrence that
     received a URI)."""
@@ -292,11 +416,11 @@ def disambiguate_conversation(
         path = "simple"
     else:
         colored = _colored_nodes(cands, base_prefix)
-        vertices, edges = fuse_graph(cands, kb, base_prefix, rel_weights)
+        vertices, edges = fuse_graph(cands, kb, base_prefix, rel_weights, crawl_sameas)
         inverted = build_inverted_index(cands)
         vertices, edges = prune_graph(vertices, edges, colored, inverted)
-        degrees = degree_centrality(vertices, edges)
-        chosen = choose_uris(cands, colored, degrees, preferred_uri)
+        scores = centrality_scores(vertices, edges, measure)
+        chosen = choose_uris(cands, colored, scores, preferred_uri)
         path = "graph"
     for turn_idx, occ_idx, mention in occurrences:
         if mention in chosen:
@@ -322,6 +446,8 @@ def run_oracle(
     rel_weight_rows: list[tuple[str, float]],
     base_prefix: str,
     preferred_uri: str,
+    measure: str = "DegreeCentrality",
+    crawl_sameas: str = "ALL",
 ) -> list[dict]:
     """End-to-end single-node run: transcripts -> link rows (conv grain)."""
     matcher = GazetteerMatcher(terms)
@@ -338,7 +464,9 @@ def run_oracle(
     links: list[dict] = []
     for conv_id in sorted(by_conv):
         occs = sorted(by_conv[conv_id])
-        for link in disambiguate_conversation(occs, dico_map, kb, rels, base_prefix, preferred_uri):
+        for link in disambiguate_conversation(
+            occs, dico_map, kb, rels, base_prefix, preferred_uri, measure, crawl_sameas
+        ):
             links.append({"conv_id": conv_id, **link})
     return links
 

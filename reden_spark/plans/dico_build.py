@@ -87,6 +87,71 @@ def build_dico(
     )
 
 
+def build_place_dico(
+    places: DataFrame,
+    letters: list[str] | None = None,
+    lang: str = "fr",
+    sameas_prefix: str | None = "http://dbpedia.org/",
+) -> DataFrame:
+    """Place-source dictionary builder — the LOC twin of :func:`build_dico`
+    (QueryPlaceDBpedia.java:60-205; QueryPlaceWikiData.java:62-143). Expects an
+    offline place dump with columns
+    (uri, label, label_lang, alt_label, alt_lang, is_place, lat, lon, sameas).
+
+      * language filter ``langMatches(lang(?label),'FR')``
+        (QueryPlaceDBpedia.java:103,107) -> lower(label_lang) == lang, applied
+        to the primary label AND to alt/redirect labels (the reference repeats
+        the filter inside each OPTIONAL block);
+      * a-z + 'other' letter shard on the primary label (the filterRegex,
+        :70-75) -> `letter` partition column;
+      * type gate (rdf:type db-owl:Place UNION fiction-city category on
+        DBpedia; has-coordinates on WikiData) -> the caller derives a boolean
+        `is_place` from whatever its dump encodes;
+      * sameAs targets restricted by prefix (FILTER regex '^http://dbpedia.org/',
+        :109-110); the reference queries ?otherLinks but never writes it — the
+        rebuild keeps them in `uris` (documented improvement);
+      * one dico row per alias: the primary label itself (the reference's
+        main-page PlaceEntry) + every lang-matching alt label (redirect/altLabel
+        PlaceEntry), deduplicated like processResults' contains-checks;
+      * lat/lon carried as typed columns: coordinate extraction happens once at
+        build time instead of the per-URI enrichment re-crawl
+        (GeodataGeneration.java:32-72).
+    """
+    p = places.filter(F.col("is_place")).filter(F.lower(F.col("label_lang")) == lang.lower())
+    letter = F.lower(F.substring(F.col("label"), 1, 1))
+    p = p.withColumn("letter", F.when(letter.rlike("^[a-z]$"), letter).otherwise(F.lit("other")))
+    if letters is not None:
+        p = p.filter(F.col("letter").isin(letters))
+
+    clean_sameas = (
+        F.when(F.col("sameas").startswith(sameas_prefix), F.col("sameas"))
+        if sameas_prefix is not None
+        else F.col("sameas")
+    )
+    p = p.withColumn("uris", F.filter(F.array(F.col("uri"), clean_sameas), lambda x: x.isNotNull()))
+
+    main = p.select(F.col("label").alias("alias"), "label", "uris", "letter", "lat", "lon")
+    alt = (
+        p.filter(F.col("alt_label").isNotNull() & (F.lower(F.col("alt_lang")) == lang.lower()))
+        .select(F.col("alt_label").alias("alias"), "label", "uris", "letter", "lat", "lon")
+    )
+    return (
+        main.unionByName(alt)
+        .filter(F.col("alias") != "")
+        .select(
+            "alias",
+            normalize_mention("alias").alias("alias_norm"),
+            F.col("label").alias("name"),
+            F.lit("LOC").alias("ne_type"),
+            "uris",
+            "letter",
+            "lat",
+            "lon",
+        )
+        .distinct()
+    )
+
+
 def geonames_to_dico(raw: DataFrame) -> DataFrame:
     """Geonames dump -> dictionary rows: one row per primary + alternate name
     (scripts/genGeonamesDico.py:21-39 — Python-2 tab-split script restated as
@@ -94,10 +159,18 @@ def geonames_to_dico(raw: DataFrame) -> DataFrame:
     (geonameid, name, alternatenames)."""
     uri = F.concat(F.lit("http://sws.geonames.org/"), F.col("geonameid").cast("string"), F.lit("/"))
     base = raw.select(uri.alias("uri"), "name", "alternatenames")
-    names = base.select("uri", F.col("name").alias("alias")).unionByName(
-        base.select("uri", F.explode(F.split(F.coalesce("alternatenames", F.lit("")), ",")).alias("alias")).filter(
-            F.col("alias") != ""
+    # empty-alias filter covers BOTH branches (a dump row with a blank primary
+    # name must not emit an alias='' dico row; matches the DuckDB oracle which
+    # filters the union)
+    names = (
+        base.select("uri", F.col("name").alias("alias"))
+        .unionByName(
+            base.select(
+                "uri",
+                F.explode(F.split(F.coalesce("alternatenames", F.lit("")), ",")).alias("alias"),
+            )
         )
+        .filter(F.col("alias") != "")
     )
     return names.select(
         "alias",

@@ -66,9 +66,14 @@ def run_pipeline(
     # mega-conversation's turns across every task with NO up-front shuffle —
     # this is the salt step of SURVEY.md §4's salt/un-salt dance for free:
     # conversation grouping only happens later via shuffle keys (with AQE skew
-    # handling), so no single task ever holds a whole conversation. If the
-    # input arrives as one giant row group, add .repartition() back.
+    # handling), so no single task ever holds a whole conversation. Guard the
+    # degenerate case: a producer that wrote one giant row group would run the
+    # dominant map stage on a single task, so repartition ONLY when the scan
+    # yields fewer splits than the session's parallelism.
     transcripts = src("transcripts")
+    min_parallelism = spark.sparkContext.defaultParallelism
+    if transcripts.rdd.getNumPartitions() < min_parallelism:
+        transcripts = transcripts.repartition(min_parallelism)
     terms = src("mention_terms")
     dico = src("dico")
     kb_edges = src("kb_edges")

@@ -7,16 +7,74 @@ raise to O(cores * 2-3).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Conservative heap default: half of MemAvailable, clamped to [4g, 48g].
+
+    A fixed large default (48g) starves shuffle scratch when the host is small
+    or shared; SPARK_DRIVER_MEM still overrides unconditionally."""
+    env = os.environ.get("SPARK_DRIVER_MEM")
+    if env:
+        return env
+    avail_gb = 16
+    try:
+        with open("/proc/meminfo") as fh:
+            info = {line.split(":")[0]: line.split()[1] for line in fh if ":" in line}
+        avail_gb = int(info.get("MemAvailable", info.get("MemTotal", 0))) // (1024 * 1024) or 16
+    except (OSError, ValueError, IndexError):
+        pass
+    return f"{max(4, min(48, avail_gb // 2))}g"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 def _scratch_dir() -> str:
+    """Per-process shuffle/spill scratch, preferring tmpfs when it has headroom.
+
+    tmpfs (/dev/shm) is the single-node stand-in for a cluster's per-executor
+    local NVMe — one shared spinning disk serializes every shuffle at any core
+    count. But tmpfs competes with the JVM heap for the same RAM, so it is only
+    used when >=16 GiB are free; each session gets a pid-scoped subdirectory
+    removed at interpreter exit, and stale siblings of dead processes are
+    reaped opportunistically (concurrent sessions no longer share one dir)."""
+    env = os.environ.get("SPARK_LOCAL_DIRS")
+    if env:
+        return env
     if os.path.isdir("/dev/shm"):
-        d = "/dev/shm/spark_scratch"
-        os.makedirs(d, exist_ok=True)
-        return d
+        try:
+            st = os.statvfs("/dev/shm")
+            free_gb = st.f_bavail * st.f_frsize / 2**30
+        except OSError:
+            free_gb = 0.0
+        if free_gb >= 16:
+            base = "/dev/shm/spark_scratch"
+            os.makedirs(base, exist_ok=True)
+            for name in os.listdir(base):
+                if name.startswith("pid-"):
+                    try:
+                        pid = int(name[4:])
+                    except ValueError:
+                        continue
+                    if pid != os.getpid() and not _pid_alive(pid):
+                        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            d = os.path.join(base, f"pid-{os.getpid()}")
+            os.makedirs(d, exist_ok=True)
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+            return d
     return "/tmp"
 
 
@@ -52,11 +110,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        # shuffle/spill scratch: prefer memory-backed storage when present (the
-        # single-node stand-in for a cluster's per-executor local NVMe; one
-        # shared spinning disk would serialize every shuffle at any core count)
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _scratch_dir()))
+        .config("spark.driver.memory", _default_driver_mem())
+        .config("spark.local.dir", _scratch_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "32m")
     )

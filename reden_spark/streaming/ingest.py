@@ -66,13 +66,23 @@ PROGRESS_OUT_SCHEMA = (
 PROGRESS_STATE_SCHEMA = "n_mentions bigint, n_turns bigint, max_turn_idx int"
 
 
-def conversation_progress(mentions_stream: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
+def conversation_progress(
+    mentions_stream: DataFrame, timeout_ms: int = 0
+) -> DataFrame:
     """Custom stateful streaming operator (`applyInPandasWithState`): running
-    per-conversation mention/turn counters with a processing-time timeout that
-    closes idle conversations and evicts their state (bounded state at
-    10^12-turn scale — state is 3 ints per live conversation, dropped on
-    timeout). Emits one row per conversation per micro-batch; `closed=true`
-    rows are the final tallies of evicted conversations."""
+    per-conversation mention/turn counters. State is 3 ints per live
+    conversation — bounded at 10^12-turn scale when eviction is on.
+
+    ``timeout_ms=0`` (default) uses ``NoTimeout``: state lives for the run.
+    This is the right mode for ``Trigger.AvailableNow`` drains — a
+    processing-time timeout re-arms on every micro-batch, so AvailableNow
+    keeps scheduling empty timeout batches and never terminates (observed
+    ~1 batch/s forever; round-1 gate failure).
+
+    ``timeout_ms>0`` uses ``ProcessingTimeTimeout``: idle conversations are
+    closed and their state evicted; `closed=true` rows are the final tallies.
+    Use only with a continuous trigger and explicit `stop()` — never with
+    AvailableNow."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -86,24 +96,36 @@ def conversation_progress(mentions_stream: DataFrame, timeout_ms: int = 60_000) 
             )
             return
         n_m, n_t, mx = state.get if state.exists else (0, 0, -1)
+        # Collect distinct turn_idx across ALL pandas chunks of this batch
+        # (one group can span several Arrow chunks; per-chunk nunique would
+        # double-count a turn straddling a chunk boundary). Bounded by the
+        # batch's live turns, not total history. A turn straddling
+        # *micro-batches* still counts once per batch (monitoring-grade).
+        batch_turns: set = set()
         for pdf in pdfs:
             n_m += len(pdf)
-            # per-batch distinct: exact within a batch; a turn whose mentions
-            # straddle micro-batches counts once per batch (monitoring-grade)
-            n_t += pdf["turn_idx"].nunique()
-            mx = max(mx, int(pdf["turn_idx"].max()))
+            batch_turns.update(pdf["turn_idx"].tolist())
+        if batch_turns:
+            n_t += len(batch_turns)
+            mx = max(mx, max(batch_turns))
         state.update((n_m, n_t, mx))
-        state.setTimeoutDuration(timeout_ms)
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             [{"conv_id": conv_id, "n_mentions": n_m, "n_turns": n_t, "max_turn_idx": mx, "closed": False}]
         )
 
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
     return mentions_stream.groupBy("conv_id").applyInPandasWithState(
         update,
         outputStructType=PROGRESS_OUT_SCHEMA,
         stateStructType=PROGRESS_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=conf,
     )
 
 

@@ -98,6 +98,133 @@ def test_minhash_lsh_pairs_vs_duckdb(docs, duck):
     assert got == want
 
 
+def test_ngram_jaccard_vs_duckdb(docs, duck):
+    """2-of-4 min-shingle banding + exact Jaccard verification, mirrored 1:1
+    by the DuckDB oracle."""
+    from reden_spark.driver_contract import O_DEDUP_NGRAM
+    from reden_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in ngram_jaccard_pairs(docs, 3, 0.8).collect()}
+    want = {tuple(r) for r in duck.sql(O_DEDUP_NGRAM).fetchall()}
+    assert got == want
+
+
+def test_ngram_banding_bounds_hot_block(spark):
+    """Adversarial corpus: one shingle shared by EVERY document (and present in
+    every doc's 4-smallest set, since each doc has exactly 4 shingles). A
+    single-min-shingle block key could put all N docs in one block -> N^2/2
+    candidate pairs; the 2-of-4 pair keys need TWO shared min-shingles, so the
+    ubiquitous shingle creates zero cross-document candidates."""
+    from pyspark.sql import functions as F
+
+    from reden_spark.operators.dedup import (
+        _min_shingle_band_keys,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    n = 200
+    # 6 words -> exactly 4 word-3-gram shingles; the first ("common anchor
+    # phrase") is identical across all docs, the rest are doc-unique
+    docs = spark.createDataFrame(
+        [(i, f"common anchor phrase u{i}a u{i}b u{i}c") for i in range(n)],
+        "doc_id int, text string",
+    )
+    sh = docs.select(
+        "doc_id", "text", word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    keyed = sh.select("doc_id", F.explode(_min_shingle_band_keys()).alias("block"))
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "block")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), "block")
+    n_candidates = (
+        a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct().count()
+    )
+    assert n_candidates == 0
+    assert ngram_jaccard_pairs(docs, 3, 0.8).count() == 0
+
+
+def test_minhash_salt_preserves_pairs(docs):
+    """salt>1 redistributes hot bands across tasks but must not change the
+    candidate pair set."""
+    from reden_spark.operators.dedup import minhash_lsh_pairs
+
+    base = {(r.doc_a, r.doc_b, r.jaccard) for r in minhash_lsh_pairs(docs, 12, 3, 4, 0.5).collect()}
+    salted = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, 12, 3, 4, 0.5, salt=4).collect()
+    }
+    assert base == salted and len(base) > 0
+
+
+def test_simhash_pairs_match_bruteforce(docs):
+    """Pigeonhole guarantee: with n_chunks >= max_hamming+1 derived chunks, the
+    chunk-blocked pair set equals the brute-force all-pairs set within
+    max_hamming (recall = 1.0, not LSH-approximate)."""
+    from reden_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    max_h = 12
+    hashes = {r.doc_id: r.simhash & ((1 << 64) - 1) for r in simhash64(docs, 2).collect()}
+    ids = sorted(hashes)
+    want = set()
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            d = bin(hashes[da] ^ hashes[db]).count("1")
+            if d <= max_h:
+                want.add((da, db, d))
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in simhash_near_pairs(docs, 2, max_h).collect()}
+    assert got == want
+
+
+def test_pairwise_dup_candidates_vs_duckdb(emb, duck):
+    """Sign-LSH embedding dedup is fully oracle-checkable (integer hyperplanes,
+    Column-expression bucketing) and non-empty on the fixture."""
+    from reden_spark.driver_contract import _o_dedup_embedding
+    from reden_spark.operators.similarity import pairwise_dup_candidates
+
+    got = {(r.id_a, r.id_b, r.sim) for r in pairwise_dup_candidates(emb, 0.3, 4).collect()}
+    want = {tuple(r) for r in duck.sql(_o_dedup_embedding()).fetchall()}
+    assert got == want and len(got) > 0
+
+
+def test_pairwise_dup_seeded_near_duplicates(spark):
+    """Seeded near-duplicate embeddings (base + tiny noise) must all be found;
+    the full result must equal a brute-force numpy oracle applying the same
+    planes, bucketing and threshold."""
+    import numpy as np
+
+    from reden_spark.operators.similarity import int_hyperplanes, pairwise_dup_candidates
+
+    rng = np.random.RandomState(3)
+    dim, n_pairs = 16, 10
+    base = rng.standard_normal((n_pairs, dim)).astype(np.float32)
+    vecs = {}
+    for i, v in enumerate(base):
+        vecs[2 * i] = v
+        vecs[2 * i + 1] = (v + 0.001 * rng.standard_normal(dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()],
+        "vec_id int, embedding array<float>",
+    )
+    got = {(r.id_a, r.id_b) for r in pairwise_dup_candidates(emb, threshold=0.99, n_planes=4).collect()}
+
+    planes = int_hyperplanes(dim, 4)
+    def bucket(v):
+        return int(((v.astype(np.float64) @ planes.T) > 0).dot(1 << np.arange(4)))
+    want = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bucket(vecs[a]) != bucket(vecs[b]):
+                continue
+            va, vb = vecs[a].astype(np.float64), vecs[b].astype(np.float64)
+            sim = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+            if sim >= 0.99:
+                want.add((a, b))
+    seeded = {(2 * i, 2 * i + 1) for i in range(n_pairs)}
+    assert got == want
+    assert seeded <= got  # every seeded near-dup recovered
+
+
 def test_token_count_and_quality_vs_duckdb(docs, duck):
     from reden_spark.operators.textstats import quality_score, token_count
 

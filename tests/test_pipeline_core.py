@@ -86,6 +86,33 @@ def test_triples_match_oracle(spark, tables, py_tables, oracle_links):
     )
 
 
+def test_connected_components_long_chain(spark):
+    """A 120-hop sameAs chain must converge well inside max_iter thanks to
+    pointer jumping (plain neighbor-min propagation needs O(diameter)=120
+    rounds; label-of-label gives O(log n) ~ 8)."""
+    from reden_spark.operators.canonicalize import connected_components
+
+    n = 120
+    edges = spark.createDataFrame(
+        [(f"u{i:03d}", f"u{i + 1:03d}") for i in range(n)], "a string, b string"
+    )
+    rows = connected_components(edges, max_iter=12).collect()
+    assert len(rows) == n + 1
+    assert {r.canonical for r in rows} == {"u000"}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    from reden_spark.operators.canonicalize import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(40)], "a string, b string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
 def test_per_turn_text_equality_invariant(spark, tables, fixture_dir):
     """North-rule invariant: per-turn text equality under stable (conv_id, turn_idx)
     ordering between the source table and what the pipeline reads."""

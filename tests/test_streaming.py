@@ -68,7 +68,8 @@ def test_mention_rate_windowed_agg(spark, tables, fixture_dir, tmp_path):
 
 def test_conversation_progress_stateful(spark, tables, fixture_dir, tmp_path):
     """applyInPandasWithState counters after one availableNow batch must equal
-    the batch aggregation over the same mentions."""
+    the batch aggregation over the same mentions (NoTimeout mode: AvailableNow
+    terminates once the data is drained)."""
     import shutil
 
     from pyspark.sql import functions as F
