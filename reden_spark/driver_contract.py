@@ -1032,6 +1032,44 @@ FROM top JOIN customer ON o_custkey = c_custkey WHERE rnk <= 10
 """
 
 
+def q_rel_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t + Wilcoxon signed-rank over positionally-paired scores of two
+    runs (SignificanceTesting.java:23-113 prepares the pairs, defers the test
+    to R; here the statistics are computed in-engine). Scores derived
+    deterministically from events as two pseudo-runs."""
+    from .operators.compare import paired_t_test, wilcoxon_signed_rank
+
+    ev = _read(spark, sf_dir, "events")
+    paired = ev.select(
+        ((F.col("event_id") % 13).cast("double") / 2).alias("score_a"),
+        ((F.col("event_id") % 11).cast("double") / 2).alias("score_b"),
+    )
+    return paired_t_test(paired).crossJoin(wilcoxon_signed_rank(paired))
+
+
+O_REL_SIGNIFICANCE = """
+WITH d0 AS (
+  SELECT (event_id % 13)::DOUBLE / 2 - (event_id % 11)::DOUBLE / 2 AS d FROM events
+), t AS (
+  SELECT count(*) AS n, round(avg(d), 9) AS mean_diff, round(stddev_samp(d), 9) AS sd_diff
+  FROM d0
+), ranked AS (
+  SELECT d, abs(d) AS abs_d, row_number() OVER (ORDER BY abs(d)) AS rn
+  FROM d0 WHERE d != 0
+), ar AS (
+  SELECT d, avg(rn::DOUBLE) OVER (PARTITION BY abs_d) AS arank FROM ranked
+), w AS (
+  SELECT count(*) AS n_nonzero,
+         round(sum(CASE WHEN d > 0 THEN arank ELSE 0 END), 6) AS w_plus
+  FROM ar
+)
+SELECT n, mean_diff, sd_diff,
+       round(mean_diff / (sd_diff / sqrt(n)), 6) AS t_stat,
+       n_nonzero, w_plus
+FROM t, w
+"""
+
+
 def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1470,6 +1508,7 @@ QUERIES = {
     "rel_pushdown_agg": q_rel_pushdown_agg,
     "rel_join_topk": q_rel_join_topk,
     "rel_sessionize": q_rel_sessionize,
+    "rel_significance": q_rel_significance,
 }
 
 ORACLES = {
@@ -1513,4 +1552,5 @@ ORACLES = {
     "rel_pushdown_agg": O_REL_PUSHDOWN_AGG,
     "rel_join_topk": O_REL_JOIN_TOPK,
     "rel_sessionize": O_REL_SESSIONIZE,
+    "rel_significance": O_REL_SIGNIFICANCE,
 }

@@ -45,12 +45,39 @@ _MATCH_TYPE = ArrayType(
 _MATCHER_CACHE: dict[object, GazetteerMatcher] = {}
 
 
+def broadcast_terms(terms: DataFrame):
+    """Ship the distinct term list to executors as an Arrow IPC buffer.
+
+    The driver never materializes Python row objects (round 1 used
+    ``.collect()`` — a driver bottleneck at real gazetteer scale, 10^7 BnF/
+    Geonames aliases): ``toArrow()`` pulls the columnar batch straight from the
+    JVM, it is serialized once as IPC bytes, and Spark's torrent broadcast
+    distributes it. Workers decode the buffer and compile the matcher once per
+    process (see :func:`_matcher_for`). Beyond what a single broadcast
+    comfortably holds (~GB), swap this for a shared-storage path handed to the
+    workers — the decode path below already isolates that choice."""
+    import pyarrow as pa
+
+    tbl = terms.select("term").distinct().toArrow()
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as writer:
+        writer.write_table(tbl)
+    return terms.sparkSession.sparkContext.broadcast(sink.getvalue().to_pybytes())
+
+
 def _matcher_for(bc) -> GazetteerMatcher:
     # worker-side Broadcast exposes _path (spill file); driver-side has _jbroadcast.
     key = getattr(bc, "_path", None) or id(bc)
     matcher = _MATCHER_CACHE.get(key)
     if matcher is None:
-        matcher = GazetteerMatcher(bc.value)
+        value = bc.value
+        if isinstance(value, (bytes, bytearray)):
+            import pyarrow as pa
+
+            terms = pa.ipc.open_stream(pa.BufferReader(value)).read_all().column("term").to_pylist()
+        else:  # legacy plain-list broadcasts (streaming tests, ad-hoc callers)
+            terms = value
+        matcher = GazetteerMatcher(terms)
         _MATCHER_CACHE.clear()  # keep at most one compiled gazetteer per worker
         _MATCHER_CACHE[key] = matcher
     return matcher
@@ -58,11 +85,9 @@ def _matcher_for(bc) -> GazetteerMatcher:
 
 def mention_finder_udf(terms: DataFrame):
     """Build the Arrow-batched gazetteer UDF (shared by batch and streaming paths).
-    The term list ships once per executor via broadcast; the compiled regex is
-    cached per worker process."""
-    spark = terms.sparkSession
-    term_list = [r[0] for r in terms.select("term").distinct().collect()]
-    bc = spark.sparkContext.broadcast(term_list)
+    The term list ships once per executor via an Arrow broadcast; the compiled
+    regex is cached per worker process."""
+    bc = broadcast_terms(terms)
 
     @F.pandas_udf(_MATCH_TYPE)
     def find_all(texts: pd.Series) -> pd.Series:
@@ -86,9 +111,7 @@ def detect_mentions(turns: DataFrame, terms: DataFrame) -> DataFrame:
     """
     import numpy as np
 
-    spark = turns.sparkSession
-    term_list = [r[0] for r in terms.select("term").distinct().collect()]
-    bc = spark.sparkContext.broadcast(term_list)
+    bc = broadcast_terms(terms)
 
     def gen(batches):
         matcher = _matcher_for(bc)

@@ -86,6 +86,29 @@ def test_triples_match_oracle(spark, tables, py_tables, oracle_links):
     )
 
 
+def test_gazetteer_scales_to_100k_terms(spark, tables):
+    """Gazetteer scale path: the term list ships as an Arrow IPC broadcast (no
+    driver-side row materialization) and the trie-regex compiles ~100k terms in
+    under a second per worker; detection output is unchanged by 100k extra
+    never-matching terms."""
+    from pyspark.sql import functions as F
+
+    big = tables["mention_terms"].select("term").unionByName(
+        spark.range(100_000).select(
+            F.concat(F.lit("zzterm"), F.col("id").cast("string")).alias("term")
+        )
+    )
+    base = {
+        (r.conv_id, r.turn_idx, r.occ_idx, r.mention, r.start_pos)
+        for r in detect_mentions(tables["transcripts"], tables["mention_terms"]).collect()
+    }
+    got = {
+        (r.conv_id, r.turn_idx, r.occ_idx, r.mention, r.start_pos)
+        for r in detect_mentions(tables["transcripts"], big).collect()
+    }
+    assert got == base and len(got) > 50
+
+
 def test_connected_components_long_chain(spark):
     """A 120-hop sameAs chain must converge well inside max_iter thanks to
     pointer jumping (plain neighbor-min propagation needs O(diameter)=120
