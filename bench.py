@@ -37,7 +37,7 @@ def ensure_bench_data(n_convs: int = 3000, name: str = "kg_bench") -> Path:
     """Generate (once) the bench-scale transcripts fixture; cached on disk."""
     from reden_spark import datagen
 
-    out = BENCH_CACHE / f"{name}_v4"
+    out = BENCH_CACHE / f"{name}_v5"
     marker = out / "transcripts.parquet"
     if marker.exists():
         return out
@@ -145,6 +145,93 @@ def run_kernel(master_cpus: str, data_dir: Path) -> dict:
         spark.stop()
 
 
+def run_stage_profile(master_cpus: str, data_dir: Path) -> dict:
+    """Per-pipeline-stage resource profile parsed from the Spark event log.
+
+    Tasks are attributed to pipeline stages via the ``reden-<stage>`` job
+    groups set in plans/pipeline.py. Reports, per stage: wall seconds, summed
+    task time, executor CPU seconds, GC seconds, shuffle read/write bytes and
+    input/output bytes — the evidence base for BENCH.md's scaling analysis
+    (which stages are compute-bound vs data-movement-bound on one socket)."""
+    from reden_spark.datagen import BASE_PREFIX
+    from reden_spark.operators.disambiguate import NELConfig
+    from reden_spark.plans.pipeline import run_pipeline
+    from reden_spark.session import get_spark
+
+    evt_dir = Path(tempfile.mkdtemp(prefix="reden_evt_"))
+    spark = get_spark(
+        "reden-profile",
+        master=f"local[{master_cpus}]",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.dir": evt_dir.as_uri(),
+        },
+    )
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out_dir = tempfile.mkdtemp(prefix="reden_profile_out_", dir=ckpt_base)
+    try:
+        n_turns = spark.read.parquet(str(data_dir / "transcripts.parquet")).count()
+        t0 = time.time()
+        dfs = run_pipeline(
+            spark, data_dir, out_dir, NELConfig(base_prefix=BASE_PREFIX, preferred_uri=BASE_PREFIX)
+        )
+        dfs["triples"].count()
+        elapsed = time.time() - t0
+        walls = json.loads((Path(out_dir) / "_timings.json").read_text())
+    finally:
+        spark.stop()
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    stage_group: dict[int, str] = {}
+    agg: dict[str, dict[str, float]] = {}
+    for log in sorted(p for p in evt_dir.rglob("*") if p.is_file()):
+        for line in log.read_text(errors="replace").splitlines():
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if not isinstance(ev, dict):
+                continue
+            kind = ev.get("Event")
+            if kind == "SparkListenerJobStart":
+                group = (ev.get("Properties") or {}).get("spark.jobGroup.id", "")
+                if group.startswith("reden-"):
+                    for si in ev.get("Stage Infos", []):
+                        stage_group[si["Stage ID"]] = group[len("reden-"):]
+            elif kind == "SparkListenerTaskEnd":
+                name = stage_group.get(ev.get("Stage ID"))
+                tm = ev.get("Task Metrics")
+                if name is None or tm is None:
+                    continue
+                a = agg.setdefault(
+                    name,
+                    {k: 0.0 for k in (
+                        "task_sec", "cpu_sec", "gc_sec", "shuffle_read_mb",
+                        "shuffle_write_mb", "input_mb", "output_mb", "tasks",
+                    )},
+                )
+                a["tasks"] += 1
+                a["task_sec"] += tm.get("Executor Run Time", 0) / 1e3
+                a["cpu_sec"] += tm.get("Executor CPU Time", 0) / 1e9
+                a["gc_sec"] += tm.get("JVM GC Time", 0) / 1e3
+                srm = tm.get("Shuffle Read Metrics", {})
+                a["shuffle_read_mb"] += (
+                    srm.get("Remote Bytes Read", 0) + srm.get("Local Bytes Read", 0)
+                ) / 2**20
+                a["shuffle_write_mb"] += tm.get("Shuffle Write Metrics", {}).get(
+                    "Shuffle Bytes Written", 0
+                ) / 2**20
+                a["input_mb"] += tm.get("Input Metrics", {}).get("Bytes Read", 0) / 2**20
+                a["output_mb"] += tm.get("Output Metrics", {}).get("Bytes Written", 0) / 2**20
+    shutil.rmtree(evt_dir, ignore_errors=True)
+    stages = {
+        name: {"wall_sec": round(walls.get(name, 0.0), 2), **{k: round(v, 2) for k, v in m.items()}}
+        for name, m in sorted(agg.items())
+    }
+    return {"cpus": int(master_cpus), "n_turns": n_turns, "elapsed_sec": round(elapsed, 2), "stages": stages}
+
+
 def _kernel_subprocess(cpus: str, data_dir: Path) -> dict:
     import subprocess
 
@@ -176,12 +263,25 @@ def main() -> None:
     ap.add_argument("--dual", action="store_true", help="also run the N vs 4N scaling experiment")
     ap.add_argument("--repeats", type=int, default=1, help="runs per scaling point (median)")
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument(
+        "--stage-profile",
+        action="store_true",
+        help="per-pipeline-stage CPU/shuffle/IO profile from the event log (pair with --cpus)",
+    )
+    ap.add_argument("--scale-corpus", action="store_true", help="profile on the larger scaling corpus")
     ap.add_argument("--headline-only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--kernel-only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--cpus", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--data", default=None, help=argparse.SUPPRESS)
     a = ap.parse_args()
 
+    if a.stage_profile:
+        if a.scale_corpus:
+            data = ensure_bench_data(n_convs=12000, name="kg_scale")
+        else:
+            data = Path(a.data) if a.data else ensure_bench_data()
+        print(json.dumps(run_stage_profile(a.cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"), data)))
+        return
     if a.headline_only:
         print(json.dumps(run_headline(a.cpus, Path(a.data))))
         return

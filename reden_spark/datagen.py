@@ -417,8 +417,10 @@ def generate(
         p = out / f"{name}.parquet"
         # small row groups: Spark splits parquet at row-group granularity, so a
         # single fixture file still fans out across every core without an
-        # up-front repartition shuffle
-        pq.write_table(table, p, row_group_size=65536)
+        # up-front repartition shuffle (16k rows ~ 1-2 MB compressed: the
+        # 600k-turn bench corpus gets ~37 real splits, enough for local[32];
+        # 64k-row groups capped it at 10 and starved 2/3 of the cores)
+        pq.write_table(table, p, row_group_size=16384)
         paths[name] = str(p)
 
     write(

@@ -22,28 +22,34 @@ from ..functions.text import normalize_mention
 def generate_candidates(mentions: DataFrame, dico: DataFrame, broadcast_dico: bool = True) -> DataFrame:
     """distinct (conv_id, mention) x dico -> CANDIDATES (conv_id, mention, group_idx, uris).
 
-    One shuffle total: the distinct establishes hash partitioning on
-    (conv_id, mention); the broadcast join preserves it, so the group-dedup
-    aggregation reuses the exchange. Group dedup by full-array equality
-    (collect_set of uris arrays — DicoProcessingNEL.java:163-175) and the
-    deterministic group order (array_sort = ORDER BY uris) happen in the same
-    aggregation; posexplode then assigns group_idx map-side.
+    One shuffle total — and it is the *only* non-map operation: group dedup by
+    full-array equality (DicoProcessingNEL.java:163-175) and the deterministic
+    group order (ORDER BY uris — oracle D1) depend only on `alias_norm`, so
+    both are precomputed on the dictionary side (dico-grain window, tiny)
+    before the broadcast; the mention side is then distinct + broadcast-join,
+    nothing else. The earlier per-(conv_id, mention) `collect_set(uris)`
+    computed the same thing at occurrence grain through an
+    ObjectHashAggregate (array-typed aggregation buffers leave whole-stage
+    codegen); its allocation traffic was the worst-scaling block of the
+    pipeline on the event-log profile (task CPU x6.3 from 8 to 32 cores on
+    one socket).
     """
+    from pyspark.sql import Window
+
     probe = (
         mentions.select("conv_id", "mention")
         .distinct()
         .withColumn("alias_norm", normalize_mention("mention"))
     )
-    d = dico.select("alias_norm", "uris").distinct()
+    wd = Window.partitionBy("alias_norm").orderBy("uris")
+    d = (
+        dico.select("alias_norm", "uris")
+        .distinct()
+        .withColumn("group_idx", (F.row_number().over(wd) - 1).cast("int"))
+    )
     if broadcast_dico:
         d = F.broadcast(d)
-    return (
-        probe.join(d, "alias_norm", "inner")
-        .groupBy("conv_id", "mention")
-        .agg(F.array_sort(F.collect_set("uris")).alias("groups"))
-        .select("conv_id", "mention", F.posexplode("groups").alias("pos", "uris"))
-        .select("conv_id", "mention", F.col("pos").cast("int").alias("group_idx"), "uris")
-    )
+    return probe.join(d, "alias_norm", "inner").select("conv_id", "mention", "group_idx", "uris")
 
 
 def dico_regex_lookup(dico: DataFrame, pattern: str, limit: int | None = None) -> DataFrame:

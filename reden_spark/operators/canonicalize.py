@@ -110,14 +110,27 @@ def materialize_triples(
     """
     canon = connected_components(sameas_edge_frame(kb_edges, dico, sameas_pred))
 
-    chosen_uris = links.filter(F.col("chosen_uris") != "").select(
-        "conv_id", "turn_idx", "occ_idx", F.explode(F.split("chosen_uris", " ")).alias("uri")
+    # Resolve chosen_uris -> canonical entity on DISTINCT chosen_uris VALUES
+    # (entity-combination grain, thousands of rows), then broadcast the tiny
+    # mapping back onto the occurrence table. The naive form — explode every
+    # occurrence and groupBy (conv_id, turn_idx, occ_idx) — shuffles the full
+    # link table (measured 330 MB shuffle read on the 607k-turn bench corpus);
+    # this form's only occurrence-grain op is a map-side broadcast join.
+    uri_map = (
+        links.filter(F.col("chosen_uris") != "")
+        .select("chosen_uris")
+        .distinct()
+        .select("chosen_uris", F.explode(F.split("chosen_uris", " ")).alias("uri"))
+        .join(canon, "uri", "left")
+        .withColumn("c", F.coalesce("canonical", "uri"))
+        .groupBy("chosen_uris")
+        .agg(F.min("c").alias("entity"))
     )
     canon_chosen = (
-        chosen_uris.join(canon, "uri", "left")
-        .withColumn("c", F.coalesce("canonical", "uri"))
-        .groupBy("conv_id", "turn_idx", "occ_idx")
-        .agg(F.min("c").alias("entity"))
+        links.filter(F.col("chosen_uris") != "")
+        .select("conv_id", "turn_idx", "occ_idx", "chosen_uris")
+        .join(F.broadcast(uri_map), "chosen_uris")
+        .select("conv_id", "turn_idx", "occ_idx", "entity")
     )
     link_triples = canon_chosen.select(
         F.concat(F.lit("urn:mention:"), "conv_id", F.lit(":"), "turn_idx", F.lit(":"), "occ_idx").alias(

@@ -56,7 +56,13 @@ def _group_members(candidates: DataFrame) -> DataFrame:
     )
 
 
-def fuse_edges(candidates: DataFrame, kb_edges: DataFrame, rel_weights: DataFrame, cfg: NELConfig) -> DataFrame:
+def fuse_edges(
+    candidates: DataFrame,
+    kb_edges: DataFrame,
+    rel_weights: DataFrame,
+    cfg: NELConfig,
+    members: DataFrame | None = None,
+) -> DataFrame:
     """Fused per-conversation graph edges (conv_id, src, dst, pred, weight).
 
     Edges originate at the *base* vertex even when the triple's subject is a
@@ -64,7 +70,8 @@ def fuse_edges(candidates: DataFrame, kb_edges: DataFrame, rel_weights: DataFram
     triples are re-probed %-encoded (:293-330); sameAs triples and self-loops are
     skipped; one edge per (src,dst) — min(pred) wins (oracle D3).
     """
-    members = _group_members(candidates)
+    if members is None:
+        members = _group_members(candidates)
     is_base = F.col("member").contains(F.lit(cfg.base_prefix))
     # per group: the LAST base member is the fold target (GraphHandlerNEL.java:128-132)
     base_of_group = F.element_at(
@@ -128,26 +135,37 @@ def fuse_edges(candidates: DataFrame, kb_edges: DataFrame, rel_weights: DataFram
     ).select("conv_id", "src", "dst", F.col("pw.pred").alias("pred"), F.col("pw.weight").alias("weight"))
 
 
-def colored_nodes(candidates: DataFrame, cfg: NELConfig) -> DataFrame:
+def colored_nodes(
+    candidates: DataFrame, cfg: NELConfig, members: DataFrame | None = None
+) -> DataFrame:
     """Candidate base-KB vertices: raw + decomposed forms (CentralityHandler.java:78-97).
     Returns (conv_id, v) distinct."""
-    members = _group_members(candidates).filter(F.col("member").contains(F.lit(cfg.base_prefix)))
+    if members is None:
+        members = _group_members(candidates)
+    members = members.filter(F.col("member").contains(F.lit(cfg.base_prefix)))
     raw = members.select("conv_id", F.col("member").alias("v"))
     dec = members.select("conv_id", decompose("member").alias("v"))
     return raw.unionByName(dec).distinct()
 
 
-def inverted_index(candidates: DataFrame) -> DataFrame:
+def inverted_index(candidates: DataFrame, members: DataFrame | None = None) -> DataFrame:
     """(conv_id, v) -> winning mention: max(mention) over raw+decomposed URIs
     (oracle D4; reference: last-writer-wins, DicoProcessingNEL.java:387-401)."""
-    members = _group_members(candidates)
+    if members is None:
+        members = _group_members(candidates)
     keys = members.select("conv_id", "mention", F.col("member").alias("v")).unionByName(
         members.select("conv_id", "mention", decompose("member").alias("v"))
     )
     return keys.groupBy("conv_id", "v").agg(F.max("mention").alias("inv_mention"))
 
 
-def pruned_edges(edges: DataFrame, candidates: DataFrame, cfg: NELConfig) -> DataFrame:
+def pruned_edges(
+    edges: DataFrame,
+    candidates: DataFrame,
+    cfg: NELConfig,
+    members: DataFrame | None = None,
+    colored: DataFrame | None = None,
+) -> DataFrame:
     """Drop <2-mention-bridge vertices, keep edges between survivors
     (CentralityHandler.java:100-122). Returns (conv_id, src, dst, pred, weight)."""
     # colored/inv/survivors are each consumed by 2-3 downstream branches and
@@ -155,9 +173,12 @@ def pruned_edges(edges: DataFrame, candidates: DataFrame, cfg: NELConfig) -> Dat
     # join pipeline per consumer (ReusedExchange misses differently-pruned
     # subplans) — measured 4x wall on this stage. localCheckpoint keeps the
     # blocks distributed on executors (conversation-grain frames, orders of
-    # magnitude smaller than the turn table at any scale).
-    colored = colored_nodes(candidates, cfg).localCheckpoint(eager=False)
-    inv = inverted_index(candidates).localCheckpoint(eager=False)
+    # magnitude smaller than the turn table at any scale). Callers that consume
+    # colored/members elsewhere too (disambiguate) pass them in pre-checkpointed
+    # so the explode subtree runs once per stage, not once per consumer.
+    if colored is None:
+        colored = colored_nodes(candidates, cfg, members=members).localCheckpoint(eager=False)
+    inv = inverted_index(candidates, members=members).localCheckpoint(eager=False)
 
     ends = edges.select("conv_id", F.col("src").alias("v"), F.col("dst").alias("other")).unionByName(
         edges.select("conv_id", F.col("dst").alias("v"), F.col("src").alias("other"))
@@ -184,14 +205,18 @@ def pruned_edges(edges: DataFrame, candidates: DataFrame, cfg: NELConfig) -> Dat
 
 
 def prune_and_degree(
-    edges: DataFrame, candidates: DataFrame, cfg: NELConfig
+    edges: DataFrame,
+    candidates: DataFrame,
+    cfg: NELConfig,
+    members: DataFrame | None = None,
+    colored: DataFrame | None = None,
 ) -> DataFrame:
     """Prune <2-mention bridges, then degree per surviving vertex.
 
     Returns (conv_id, v, degree). Vertex set = edge endpoints plus isolated base
     vertices (degree 0 is implicit — score lookup later coalesces to 0).
     """
-    pruned = pruned_edges(edges, candidates, cfg)
+    pruned = pruned_edges(edges, candidates, cfg, members=members, colored=colored)
     return (
         pruned.select("conv_id", F.explode(F.array("src", "dst")).alias("v"))
         .groupBy("conv_id", "v")
@@ -247,16 +272,22 @@ def eigenvector_scores(pruned: DataFrame, iters: int | None = None) -> DataFrame
     return x.select("conv_id", "v", F.col("score").alias("degree"))
 
 
-def centrality(edges: DataFrame, candidates: DataFrame, cfg: NELConfig) -> DataFrame:
+def centrality(
+    edges: DataFrame,
+    candidates: DataFrame,
+    cfg: NELConfig,
+    members: DataFrame | None = None,
+    colored: DataFrame | None = None,
+) -> DataFrame:
     """Prune + per-vertex centrality score under cfg.centrality. The relational
     path serves DegreeCentrality (default in every shipped reference config) and
     EigenvectorCentrality; Brandes betweenness / Freeman closeness are
     inherently per-conversation graph traversals — use disambiguate_grouped,
     whose kernel dispatches all four via oracle.centrality_scores."""
     if cfg.centrality == "DegreeCentrality":
-        return prune_and_degree(edges, candidates, cfg)
+        return prune_and_degree(edges, candidates, cfg, members=members, colored=colored)
     if cfg.centrality == "EigenvectorCentrality":
-        return eigenvector_scores(pruned_edges(edges, candidates, cfg))
+        return eigenvector_scores(pruned_edges(edges, candidates, cfg, members=members, colored=colored))
     raise ValueError(
         f"centralityMeasure {cfg.centrality!r} is not relationally expressible; "
         "use disambiguate_grouped (applyInPandas kernel) for "
@@ -265,12 +296,19 @@ def centrality(edges: DataFrame, candidates: DataFrame, cfg: NELConfig) -> DataF
 
 
 def choose_links(
-    candidates: DataFrame, degrees: DataFrame, cfg: NELConfig
+    candidates: DataFrame,
+    degrees: DataFrame,
+    cfg: NELConfig,
+    members: DataFrame | None = None,
+    colored: DataFrame | None = None,
 ) -> DataFrame:
     """Argmax per (conv_id, mention) + preferred-URI projection
     (CentralityHandler.java:154-215). Returns (conv_id, mention, chosen_uris, score)."""
-    members = _group_members(candidates).withColumn("dec", decompose("member"))
-    colored = colored_nodes(candidates, cfg)
+    if members is None:
+        members = _group_members(candidates)
+    members = members.withColumn("dec", decompose("member"))
+    if colored is None:
+        colored = colored_nodes(candidates, cfg)
 
     scored = (
         members.join(colored.withColumnRenamed("v", "dec"), ["conv_id", "dec"], "left_semi")
@@ -343,12 +381,31 @@ def disambiguate(
 
     # cand_ok fans out to fuse/prune/choose and edges is read 3x inside prune:
     # cut lineage once so the shared subtrees execute once (see prune note)
-    cand_ok = candidates.join(ok_convs, "conv_id", "left_semi").localCheckpoint(eager=False)
+    cand_ok = candidates.join(ok_convs, "conv_id", "left_semi").localCheckpoint(eager=True)
     cand_simple = candidates.join(simple_convs, "conv_id", "left_semi")
 
-    edges = fuse_edges(cand_ok, kb_edges, rel_weights, cfg).localCheckpoint(eager=False)
-    scores = centrality(edges, cand_ok, cfg)
-    graph_chosen = choose_links(cand_ok, scores, cfg).withColumn("path", F.lit("graph"))
+    # shared subtrees, computed once per stage: the posexplode of candidate
+    # groups (members) feeds fuse/prune/inverted-index/choose, and the colored
+    # vertex set feeds prune + choose. Without the shared checkpoints Spark
+    # re-executes each explode per consumer (no cross-join CSE; ReusedExchange
+    # misses differently-pruned subplans) — the duplicated subtree was the
+    # single largest task-time block of the links stage in the event-log
+    # profile (2x ~19 task-seconds on the 607k-turn bench corpus). EAGER:
+    # AQE submits independent query stages from a thread pool, so a lazy
+    # checkpoint races — concurrent consumers each re-execute the whole
+    # upstream before any of them has materialized it (observed as doubled
+    # input-bytes in the event log). These frames are conversation-grain
+    # (tiny vs the turn table), so the serialization point is cheap.
+    members_ok = _group_members(cand_ok).localCheckpoint(eager=True)
+    colored_ok = colored_nodes(cand_ok, cfg, members=members_ok).localCheckpoint(eager=True)
+
+    edges = fuse_edges(cand_ok, kb_edges, rel_weights, cfg, members=members_ok).localCheckpoint(
+        eager=True
+    )
+    scores = centrality(edges, cand_ok, cfg, members=members_ok, colored=colored_ok)
+    graph_chosen = choose_links(
+        cand_ok, scores, cfg, members=members_ok, colored=colored_ok
+    ).withColumn("path", F.lit("graph"))
     simple_chosen = simple_links(cand_simple).withColumn("path", F.lit("simple"))
     chosen = graph_chosen.unionByName(simple_chosen)
 

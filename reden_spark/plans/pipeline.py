@@ -56,9 +56,16 @@ def run_pipeline(
     def stage(name: str, compute, bucket_col: str | None):
         if storage.stage_exists(out, name):
             return storage.read_stage(spark, out, name)
+        # job-group tag: Spark stages/tasks of this pipeline stage are
+        # attributable in the event log / UI (per-stage shuffle-byte and CPU
+        # accounting — see bench.py --stage-profile)
+        spark.sparkContext.setJobGroup(f"reden-{name}", f"pipeline stage {name}")
         t0 = time.time()
-        df = compute()
-        storage.write_stage(df, out, name, bucket_col=bucket_col, n_buckets=n_buckets)
+        try:
+            df = compute()
+            storage.write_stage(df, out, name, bucket_col=bucket_col, n_buckets=n_buckets)
+        finally:
+            spark.sparkContext.setJobGroup("", "")
         timings[name] = time.time() - t0
         return storage.read_stage(spark, out, name)
 
@@ -70,9 +77,31 @@ def run_pipeline(
     # degenerate case: a producer that wrote one giant row group would run the
     # dominant map stage on a single task, so repartition ONLY when the scan
     # yields fewer splits than the session's parallelism.
-    transcripts = src("transcripts")
+    # Parallelism guard without a shuffle: aim maxPartitionBytes at
+    # size/parallelism so the scan itself yields >= defaultParallelism splits
+    # (Spark's bytes-per-core heuristic stops helping once openCostInBytes
+    # floors the split size — observed: a 40 MB input at local[32] planned 10
+    # splits, and the old repartition() fallback then shuffled the whole input,
+    # 60 MB of traffic before the first map stage). Splits are only real up to
+    # row-group granularity, so the shuffle fallback remains for the degenerate
+    # producer that wrote one giant row group.
     min_parallelism = spark.sparkContext.defaultParallelism
-    if transcripts.rdd.getNumPartitions() < min_parallelism:
+    tfiles = sorted(Path(data).glob("transcripts.parquet/*.parquet")) or [
+        data / "transcripts.parquet"
+    ]
+    try:
+        import pyarrow.parquet as pq
+
+        total_bytes = sum(f.stat().st_size for f in tfiles if f.is_file())
+        n_row_groups = sum(
+            pq.ParquetFile(str(f)).metadata.num_row_groups for f in tfiles if f.is_file()
+        )
+        split = max(1 << 20, min(128 << 20, total_bytes // min_parallelism or 1))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    except Exception:
+        n_row_groups = 0
+    transcripts = src("transcripts")
+    if n_row_groups < min_parallelism and transcripts.rdd.getNumPartitions() < min_parallelism:
         transcripts = transcripts.repartition(min_parallelism)
     terms = src("mention_terms")
     dico = src("dico")

@@ -41,21 +41,28 @@ def test_mentions_stage_is_map_only(spark, tables):
 
 
 def test_candidates_single_exchange(spark, tables):
-    """The distinct's hash partitioning must be reused by the group-dedup
-    aggregation through the broadcast join: exactly one shuffle in the stage."""
+    """The occurrence-grain side must shuffle exactly once (the distinct);
+    group dedup + deterministic group_idx are precomputed dico-side (tiny
+    window inside the BroadcastExchange), so nothing aggregates or shuffles
+    after the join."""
     import re
 
     mentions = detect_mentions(tables["transcripts"], tables["mention_terms"])
     cands = generate_candidates(mentions, tables["dico"])
     p = plan(cands)
-    # two Exchanges total: the probe distinct + the (tiny) dico-side distinct
-    # feeding the BroadcastExchange — nothing else shuffles
+    # three Exchanges total: the probe distinct on the big side, plus the
+    # dico-side distinct + window partitioning — both inside the (tiny)
+    # BroadcastExchange subtree
     exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", p)}
-    assert len(exchange_ids) == 2, f"expected 2 Exchanges, got {len(exchange_ids)}\n{p[:1500]}"
-    # and the group-dedup aggregation reuses the join's partitioning: no
-    # Exchange appears downstream of (above) the broadcast join in the tree
+    assert len(exchange_ids) == 3, f"expected 3 Exchanges, got {len(exchange_ids)}\n{p[:1500]}"
+    # nothing shuffles or aggregates above (downstream of) the broadcast join
     tree_above_join = p.split("BroadcastHashJoin")[0]
     assert "Exchange" not in tree_above_join, tree_above_join
+    assert "HashAggregate" not in tree_above_join, tree_above_join
+    # the big-side subtree (between the join and the BroadcastExchange marker)
+    # carries exactly one Exchange: the distinct
+    big_side = p.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert big_side.count("Exchange") == 1, big_side
 
 
 def test_enrich_and_compare_ops(spark, tables, fixture_dir):
