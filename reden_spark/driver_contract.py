@@ -558,6 +558,31 @@ O_KG_CORRECT_MENTIONS = (
 )
 
 
+def q_kg_eval_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mention verdict report — the -resEvalV3.txt sink
+    (ResultsAndEvaluationNEL.java:282-318)."""
+    from .operators.evaluate import eval_verdicts
+
+    s = _kg_stack(spark, sf_dir)
+    links = _links(spark, sf_dir)
+    gold = derive_gold(spark, sf_dir)
+    return eval_verdicts(eval_records(gold, links, s["candidates"]))
+
+
+O_KG_EVAL_VERDICTS = (
+    SQL_PREFIX
+    + """
+SELECT conv_id, turn_idx, occ_idx, mention,
+       CASE WHEN gold_uri IS NULL THEN 'No manual annotation'
+            WHEN chosen_uris IS NULL THEN 'Empty choice'
+            WHEN choice_correct THEN 'Good choice'
+            ELSE 'Wrong choice' END AS verdict,
+       (correct_in_cand AND NOT choice_correct) AS right_in_cand_but_wrong
+FROM eval_recs
+"""
+)
+
+
 _RATIOS = [
     "candidate_cardinality_mean",
     "candidate_precision",
@@ -977,6 +1002,57 @@ SELECT uri, name,
             ELSE '0.' || CAST(k AS VARCHAR) END AS lat,
        CASE WHEN k % 3 != 0 THEN '-' || CAST(k AS VARCHAR) || '.25'
             ELSE '1.' || CAST(k AS VARCHAR) END AS lon
+FROM ent
+"""
+
+
+PROP_PIC = "http://kb.test/prop/depiction"
+PROP_PIC2 = "http://kb.test/prop/image_fallback"
+PROP_DOM = "http://kb.test/prop/fieldOfActivity"
+PROP_DOM2 = "http://kb.test/prop/domain_fallback"
+COMMONS = "http://commons.wikimedia.org"
+
+
+def q_kg_author_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """persName enrichment (AuthorsEnrichment.java:29-75): depiction via the
+    picProperties priority list restricted to commons.wikimedia values,
+    field of activity via domaineProperties. Fixture: primary depiction
+    property present for k % 5 != 0 (with a commons value only for even k),
+    fallback (always commons) for everyone; primary domain for k % 3 != 0."""
+    from .operators.enrich import author_enrichment
+
+    nat = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    uri = F.concat(F.lit(f"{BASE}/per/"), k)
+    entities = nat.select(uri.alias("uri"), F.concat("n_name", F.lit("X")).alias("name"))
+    primary = nat.filter(F.col("n_nationkey") % 5 != 0)
+    even = primary.filter(F.col("n_nationkey") % 2 == 0)
+    parts = [
+        primary.select(uri.alias("subj"), F.lit(PROP_PIC).alias("pred"), F.concat(F.lit("http://example.org/pic/"), k, F.lit(".jpg")).alias("obj")),
+        even.select(uri.alias("subj"), F.lit(PROP_PIC).alias("pred"), F.concat(F.lit(f"{COMMONS}/pic/"), k, F.lit(".jpg")).alias("obj")),
+        nat.select(uri.alias("subj"), F.lit(PROP_PIC2).alias("pred"), F.concat(F.lit(f"{COMMONS}/alt/"), k, F.lit(".jpg")).alias("obj")),
+        nat.filter(F.col("n_nationkey") % 3 != 0).select(uri.alias("subj"), F.lit(PROP_DOM).alias("pred"), F.concat(F.lit("Literature"), k).alias("obj")),
+        nat.select(uri.alias("subj"), F.lit(PROP_DOM2).alias("pred"), F.concat(F.lit("Domain"), k).alias("obj")),
+    ]
+    kb = parts[0]
+    for p in parts[1:]:
+        kb = kb.unionByName(p)
+    out = author_enrichment(entities, kb, [PROP_PIC, PROP_PIC2], [PROP_DOM, PROP_DOM2])
+    return out.select("uri", "name", "depiction", "field_of_activity")
+
+
+O_KG_AUTHOR_ENRICH = f"""
+WITH ent AS (
+  SELECT '{BASE}/per/' || CAST(n_nationkey AS VARCHAR) AS uri,
+         n_name || 'X' AS name, n_nationkey AS k
+  FROM nation
+)
+SELECT uri, name,
+       CASE WHEN k % 5 = 0 THEN '{COMMONS}/alt/' || CAST(k AS VARCHAR) || '.jpg'
+            WHEN k % 2 = 0 THEN '{COMMONS}/pic/' || CAST(k AS VARCHAR) || '.jpg'
+            ELSE 'http://example.org/pic/' || CAST(k AS VARCHAR) || '.jpg' END AS depiction,
+       CASE WHEN k % 3 != 0 THEN 'Literature' || CAST(k AS VARCHAR)
+            ELSE 'Domain' || CAST(k AS VARCHAR) END AS field_of_activity
 FROM ent
 """
 
@@ -1494,6 +1570,8 @@ QUERIES = {
     "kg_score_extract": q_kg_score_extract,
     "rel_lifespan": q_rel_lifespan,
     "kg_correct_mentions": q_kg_correct_mentions,
+    "kg_eval_verdicts": q_kg_eval_verdicts,
+    "kg_author_enrich": q_kg_author_enrich,
     "kg_annotated_refs": q_kg_annotated_refs,
     "kg_annotated_turns": q_kg_annotated_turns,
     "kg_relation_frequency": q_kg_relation_frequency,
@@ -1539,6 +1617,8 @@ ORACLES = {
     "kg_score_extract": O_KG_SCORE_EXTRACT,
     "rel_lifespan": O_REL_LIFESPAN,
     "kg_correct_mentions": O_KG_CORRECT_MENTIONS,
+    "kg_eval_verdicts": O_KG_EVAL_VERDICTS,
+    "kg_author_enrich": O_KG_AUTHOR_ENRICH,
     "kg_annotated_refs": O_KG_ANNOTATED_REFS,
     "kg_annotated_turns": O_KG_ANNOTATED_TURNS,
     "kg_relation_frequency": O_KG_RELATION_FREQUENCY,

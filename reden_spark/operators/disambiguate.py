@@ -178,7 +178,8 @@ def pruned_edges(
     # so the explode subtree runs once per stage, not once per consumer.
     if colored is None:
         colored = colored_nodes(candidates, cfg, members=members).localCheckpoint(eager=False)
-    inv = inverted_index(candidates, members=members).localCheckpoint(eager=False)
+    # inv is consumed once (bridge_counts) — no checkpoint, no barrier
+    inv = inverted_index(candidates, members=members)
 
     ends = edges.select("conv_id", F.col("src").alias("v"), F.col("dst").alias("other")).unionByName(
         edges.select("conv_id", F.col("dst").alias("v"), F.col("src").alias("other"))
@@ -192,10 +193,13 @@ def pruned_edges(
         .groupBy("conv_id", "v")
         .agg(F.countDistinct("inv_mention").alias("n_mentions"))
     )
+    # eager: survivors feeds BOTH semi-joins of one query — AQE materializes
+    # their build sides concurrently, and a lazy checkpoint would race (each
+    # stage re-executing the union+distinct)
     survivors = (
         colored.unionByName(bridge_counts.filter(F.col("n_mentions") >= 2).select("conv_id", "v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     return (
@@ -381,7 +385,10 @@ def disambiguate(
 
     # cand_ok fans out to fuse/prune/choose and edges is read 3x inside prune:
     # cut lineage once so the shared subtrees execute once (see prune note)
-    cand_ok = candidates.join(ok_convs, "conv_id", "left_semi").localCheckpoint(eager=True)
+    # cand_ok is consumed exactly once (members_ok below) since every operator
+    # now takes the shared members frame — no checkpoint needed, one fewer
+    # materialization barrier
+    cand_ok = candidates.join(ok_convs, "conv_id", "left_semi")
     cand_simple = candidates.join(simple_convs, "conv_id", "left_semi")
 
     # shared subtrees, computed once per stage: the posexplode of candidate

@@ -23,22 +23,56 @@ def occurrence_counts(links: DataFrame) -> DataFrame:
     )
 
 
-def assign_property(entities: DataFrame, kb_edges: DataFrame, props: list[str], out_col: str) -> DataFrame:
+def assign_property(
+    entities: DataFrame,
+    kb_edges: DataFrame,
+    props: list[str],
+    out_col: str,
+    prefer_prefix: str | None = None,
+) -> DataFrame:
     """First non-null value among an ordered property list per entity
-    (GeodataGeneration.java:53-55 semantics: property priority order)."""
+    (GeodataGeneration.java:53-55 semantics: property priority order).
+
+    ``prefer_prefix`` reproduces the `base` filter of
+    EnrichmentHandler.getValFromProperty (EnrichmentHandler.java:162-187):
+    within one property, a value starting with the prefix wins; with no
+    matching value the reference returns whatever statement Jena iterated
+    last (unspecified order) — the rebuild's decided deterministic semantic
+    is min(value), matching-prefix values first."""
     out = entities
     kb = kb_edges.select("subj", "pred", "obj")
     for i, prop in enumerate(props):
-        vals = (
-            kb.filter(F.col("pred") == prop)
-            .groupBy("subj")
-            .agg(F.min("obj").alias(f"_v{i}"))
-            .withColumnRenamed("subj", "uri")
-        )
+        vals = kb.filter(F.col("pred") == prop)
+        if prefer_prefix is not None:
+            agg = F.min(
+                F.struct(
+                    (~F.col("obj").startswith(prefer_prefix)).alias("nomatch"), F.col("obj")
+                )
+            )["obj"]
+        else:
+            agg = F.min("obj")
+        vals = vals.groupBy("subj").agg(agg.alias(f"_v{i}")).withColumnRenamed("subj", "uri")
         out = out.join(vals, "uri", "left")
     return out.withColumn(
         out_col, F.coalesce(*[F.col(f"_v{i}") for i in range(len(props))])
     ).drop(*[f"_v{i}" for i in range(len(props))])
+
+
+COMMONS_PREFIX = "http://commons.wikimedia.org"
+
+
+def author_enrichment(
+    entities: DataFrame,
+    kb_edges: DataFrame,
+    pic_props: list[str],
+    dom_props: list[str],
+) -> DataFrame:
+    """persName enrichment (AuthorsEnrichment.assignAuthorsPropValue,
+    AuthorsEnrichment.java:29-75): depiction from `picProperties` priority
+    list restricted to commons.wikimedia values, field of activity from
+    `domaineProperties` with no base filter."""
+    out = assign_property(entities, kb_edges, pic_props, "depiction", prefer_prefix=COMMONS_PREFIX)
+    return assign_property(out, kb_edges, dom_props, "field_of_activity")
 
 
 def to_geojson(points: DataFrame, lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:

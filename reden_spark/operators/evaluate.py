@@ -71,6 +71,29 @@ def eval_records(gold: DataFrame, links: DataFrame, candidates: DataFrame) -> Da
     )
 
 
+def eval_verdicts(records: DataFrame) -> DataFrame:
+    """Per-mention verdict report — the -resEvalV3.txt sink
+    (ResultsAndEvaluationNEL.java:282-318): 'Good choice' / 'Wrong choice'
+    when a URI was chosen, 'Empty choice' when REDEN chose nothing
+    (emptyChoice counter, :308), 'No manual annotation' when the gold ref is
+    absent (:313), plus the 'right referent in candidate set but the wrong
+    one chosen' flag printed unconditionally at :316-318."""
+    verdict = (
+        F.when(F.col("gold_uri").isNull(), F.lit("No manual annotation"))
+        .when(F.col("chosen_uris").isNull(), F.lit("Empty choice"))
+        .when(F.col("choice_correct"), F.lit("Good choice"))
+        .otherwise(F.lit("Wrong choice"))
+    )
+    return records.select(
+        "conv_id",
+        "turn_idx",
+        "occ_idx",
+        "mention",
+        verdict.alias("verdict"),
+        (F.col("correct_in_cand") & ~F.col("choice_correct")).alias("right_in_cand_but_wrong"),
+    )
+
+
 def hachey_metrics(records: DataFrame) -> DataFrame:
     """Single-row metrics frame — computeFinalResults (:393-557) definitions.
 
