@@ -175,16 +175,32 @@ def empty_rel_weights(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], "pred string, weight double")
 
 
+_STACK_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Derive the KG input stack once per (application, sf_dir).
+
+    Dozens of contract queries share this derivation; the shared stage outputs
+    (mentions, candidates, cases) are pinned as eager local checkpoints so the
+    mention-detection UDF and candidate join run once per session, not once
+    per query (eager also prevents AQE's concurrent stage submission from
+    re-executing a lazily-checkpointed frame per consumer). Results are
+    unchanged — the cache stores the exact DataFrames a fresh derivation
+    would return."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _STACK_CACHE.get(key)
+    if hit is not None:
+        return hit
     transcripts = derive_transcripts(spark, sf_dir)
     terms = derive_mention_terms(spark, sf_dir)
     dico = derive_dico(spark, sf_dir)
     kb = derive_kb_edges(spark, sf_dir)
     rels = empty_rel_weights(spark)
-    mentions = detect_mentions(transcripts, terms)
-    candidates = generate_candidates(mentions, dico)
-    cases = conversation_cases(mentions, candidates)
-    return {
+    mentions = detect_mentions(transcripts, terms).localCheckpoint(eager=True)
+    candidates = generate_candidates(mentions, dico).localCheckpoint(eager=True)
+    cases = conversation_cases(mentions, candidates).localCheckpoint(eager=True)
+    stack = {
         "transcripts": transcripts,
         "dico": dico,
         "kb_edges": kb,
@@ -193,6 +209,8 @@ def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "candidates": candidates,
         "cases": cases,
     }
+    _STACK_CACHE[key] = stack
+    return stack
 
 
 # ---------------------------------------------------------------------------
@@ -488,17 +506,30 @@ def q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_KG_DEGREES = SQL_PREFIX + "SELECT conv_id, v, degree FROM degrees"
 
 
+_LINKS_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+
+
 def _links(spark: SparkSession, sf_dir: str, grouped: bool = False) -> DataFrame:
+    """LINKS, memoized like :func:`_kg_stack` — consumed by the links/triples/
+    annotate/eval/occurrence query families."""
+    key = (spark.sparkContext.applicationId, str(sf_dir), grouped)
+    hit = _LINKS_CACHE.get(key)
+    if hit is not None:
+        return hit
     s = _kg_stack(spark, sf_dir)
     if grouped:
         from .operators.grouped import disambiguate_grouped
 
-        return disambiguate_grouped(
+        links = disambiguate_grouped(
             s["mentions"], s["candidates"], s["kb_edges"], s["rel_weights"], s["cases"], CFG
         )
-    return disambiguate_relational(
-        s["mentions"], s["candidates"], s["kb_edges"], s["rel_weights"], s["cases"], CFG
-    )
+    else:
+        links = disambiguate_relational(
+            s["mentions"], s["candidates"], s["kb_edges"], s["rel_weights"], s["cases"], CFG
+        )
+    links = links.localCheckpoint(eager=True)
+    _LINKS_CACHE[key] = links
+    return links
 
 
 def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,13 +704,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_DEDUP_MINHASH = (
     _DUCK_SHINGLES.format(nm1=2)
     + """
-, sig AS (
+, sigbase AS (
   SELECT doc_id, shingles,
-         [list_min([md5(h::VARCHAR || '|' || s) FOR s IN shingles]) FOR h IN range(0, 12)] AS sig
+         [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 FOR s IN shingles] AS hv
   FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT doc_id, shingles,
+         [list_min([((1 + h*1000003) * b + 12345 + h*7919) % 2147483647 FOR b IN hv]) FOR h IN range(0, 12)] AS sig
+  FROM sigbase
 ), banded AS (
   SELECT doc_id, shingles, unnest(
-    [md5(b::VARCHAR || '#' || array_to_string(list_slice(sig, b*3+1, b*3+3), '')) FOR b IN range(0, 4)]
+    [md5(b::VARCHAR || '#' || array_to_string(list_slice(sig, b*3+1, b*3+3), ',')) FOR b IN range(0, 4)]
   ) AS band_key FROM sig
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sh_a, b.shingles AS sh_b

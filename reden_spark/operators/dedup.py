@@ -52,17 +52,58 @@ def word_shingles(col, n: int):
     return F.array_sort(F.array_distinct(grams))
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 12, shingle_n: int = 3) -> DataFrame:
-    """(doc_id, sig array<string>): sig[h] = min over shingles of md5(h||'|'||shingle).
+def _fan_out(docs: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before the shingle/digest pass.
 
-    Classic shingle->minhash; empty-shingle docs get null sig and are excluded.
+    Parquet splits stop at row-group granularity: a producer that wrote one
+    giant row group (the driver's testdata does) pins the whole
+    CPU-dominant hashing pass to a single task regardless of
+    maxPartitionBytes — measured 51 s -> 6.6 s for the signature pass on the
+    sf0.1 documents table at local[32]. The repartition is a no-op cost at
+    scale (real corpora arrive in thousands of splits and skip this branch).
     """
-    sh = docs.select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles")).filter(
-        F.size("shingles") > 0
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n:
+        return docs.repartition(n)
+    return docs
+
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 12, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig array<bigint>): one base hash per shingle, n_hashes
+    arithmetic permutations of it.
+
+        b(s)   = bigint(md5(s)[0:15 hex]) mod P          (P = 2^31-1)
+        sig[h] = min over shingles of ((1 + h*1000003)*b(s) + 12345 + h*7919) mod P
+
+    The permutation family replaces the earlier md5-per-(hash, shingle)
+    formula: the digest pass over the corpus — the dominant cost of dedup at
+    scale — runs once instead of n_hashes times (measured ~3x on the sf0.1
+    contract corpus), and the permutations are whole-stage-codegen integer
+    arithmetic. Multiplier (<2^24) x base (<2^31) stays well inside bigint.
+    The DuckDB oracles state the identical formula
+    (('0x' || substr(md5(s),1,15))::BIGINT on that side — verified equal to
+    Spark's conv(substring(md5(s),1,15),16,10)).
+
+    Empty-shingle docs get no row and are excluded.
+    """
+    sh = _fan_out(docs).select(
+        "doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    # hv as its own projection step: inlining the digest inside the per-h
+    # lambda would re-run the md5 pass n_hashes times (Catalyst does not hoist
+    # the common subexpression out of a nested transform)
+    sh = sh.withColumn(
+        "hv",
+        F.expr(
+            f"transform(shingles, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {MINHASH_P}L)"
+        ),
     )
     sig = F.expr(
         f"transform(sequence(0, {n_hashes - 1}), "
-        f"h -> array_min(transform(shingles, s -> md5(concat(cast(h as string), '|', s)))))"
+        f"h -> array_min(transform(hv, b -> ((1 + h*1000003) * b + 12345 + h*7919) % {MINHASH_P}L)))"
     )
     return sh.select("doc_id", "shingles", sig.alias("sig"))
 
@@ -91,14 +132,17 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // bands
     # signatures are consumed 3x (banding + both sides of the verification
-    # join); cut lineage so the 12x|shingles| md5 pass runs once
-    sigs = minhash_signatures(docs, n_hashes, shingle_n).localCheckpoint(eager=False)
+    # join); cut lineage EAGERLY so the digest pass runs once — a lazy
+    # checkpoint races under AQE's concurrent stage submission and each
+    # consumer re-executes the whole signature computation
+    sigs = minhash_signatures(docs, n_hashes, shingle_n).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         "shingles",
         F.explode(
             F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> md5(concat(cast(b as string), '#', array_join(slice(sig, b*{r}+1, {r}), ''))))"
+                f"transform(sequence(0, {bands - 1}), b -> md5(concat(cast(b as string), '#', "
+                f"array_join(transform(slice(sig, b*{r}+1, {r}), x -> cast(x as string)), ','))))"
             )
         ).alias("band_key"),
     )
@@ -170,9 +214,10 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 
     exact Jaccard; recall is banding-limited like any LSH scheme, but the
     DuckDB oracle computes the identical banded formula, so parity is exact."""
     sh = (
-        docs.select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles"))
+        _fan_out(docs)
+        .select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .localCheckpoint(eager=False)  # consumed by blocking + both join sides
+        .localCheckpoint(eager=True)  # consumed by blocking + both join sides; eager: lazy races under AQE
     )
     keyed = sh.select("doc_id", F.explode(_min_shingle_band_keys()).alias("block"))
     pairs = (
@@ -199,9 +244,9 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 
 def simhash64(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
     """64-bit SimHash per document (Spark-native xxhash64 bit votes; no SQL oracle —
     bit-level ops are engine-specific, recorded as a rows-only check)."""
-    sh = docs.select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    sh = _fan_out(docs).select(
+        "doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
     tokens = sh.select("doc_id", F.explode("shingles").alias("tok")).withColumn(
         "h", F.xxhash64("tok")
     )

@@ -74,13 +74,17 @@ def test_minhash_lsh_pairs_vs_duckdb(docs, duck):
         for r in duck.sql(
             _duck_shingle_cte(3)
             + """
-            , sig AS (
+            , sigbase AS (
               SELECT doc_id, shingles,
-                     [list_min([md5(h::VARCHAR || '|' || s) FOR s IN shingles]) FOR h IN range(0, 12)] AS sig
+                     [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 FOR s IN shingles] AS hv
               FROM sh WHERE len(shingles) > 0
+            ), sig AS (
+              SELECT doc_id, shingles,
+                     [list_min([((1 + h*1000003) * b + 12345 + h*7919) % 2147483647 FOR b IN hv]) FOR h IN range(0, 12)] AS sig
+              FROM sigbase
             ), banded AS (
               SELECT doc_id, shingles, unnest(
-                [md5(b::VARCHAR || '#' || array_to_string(list_slice(sig, b*3+1, b*3+3), '')) FOR b IN range(0, 4)]
+                [md5(b::VARCHAR || '#' || array_to_string(list_slice(sig, b*3+1, b*3+3), ',')) FOR b IN range(0, 4)]
               ) AS band_key FROM sig
             ), pairs AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sh_a, b.shingles AS sh_b
