@@ -177,7 +177,10 @@ def pruned_edges(
     # colored/members elsewhere too (disambiguate) pass them in pre-checkpointed
     # so the explode subtree runs once per stage, not once per consumer.
     if colored is None:
-        colored = colored_nodes(candidates, cfg, members=members).localCheckpoint(eager=False)
+        # eager: colored feeds 3 subtrees of one query (anti-join, bridge join,
+        # survivors union) — lazy checkpoints race under AQE's concurrent
+        # stage submission and re-execute the explode per consumer
+        colored = colored_nodes(candidates, cfg, members=members).localCheckpoint(eager=True)
     # inv is consumed once (bridge_counts) — no checkpoint, no barrier
     inv = inverted_index(candidates, members=members)
 
@@ -248,9 +251,9 @@ def eigenvector_scores(pruned: DataFrame, iters: int | None = None) -> DataFrame
         pruned.select("conv_id", F.col("src").alias("v"), F.col("dst").alias("n"))
         .unionByName(pruned.select("conv_id", F.col("dst").alias("v"), F.col("src").alias("n")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    verts = sym.select("conv_id", "v").distinct().localCheckpoint(eager=False)
+    verts = sym.select("conv_id", "v").distinct().localCheckpoint(eager=True)
     x = verts.withColumn("score", F.lit(1.0))
     for _ in range(iters):
         nbr = (
