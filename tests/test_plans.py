@@ -33,6 +33,26 @@ def test_candidate_join_is_broadcast(spark, tables):
     assert "CartesianProduct" not in p
 
 
+def test_triples_no_occurrence_grain_shuffle(spark, tables):
+    """materialize_triples resolves chosen_uris -> canonical entity on DISTINCT
+    chosen_uris values and broadcasts the mapping back: the occurrence-grain
+    link table must never be exchanged on its (conv_id, turn_idx, occ_idx)
+    key (the naive per-occurrence explode+groupBy shuffled the full table)."""
+    import re
+
+    from reden_spark.operators.canonicalize import materialize_triples
+
+    links = spark.createDataFrame(
+        [("c1", 0, 0, "m", "http://kb.test/base/e1 http://ext.kb/x", 1.0, "graph")],
+        "conv_id string, turn_idx int, occ_idx int, mention string, chosen_uris string, score double, path string",
+    )
+    t = materialize_triples(links, tables["kb_edges"], tables["dico"])
+    p = plan(t)
+    assert "BroadcastHashJoin" in p
+    # no hash partitioning on the occurrence key anywhere in the plan
+    assert not re.search(r"hashpartitioning\(conv_id[^)]*turn_idx", p), p
+
+
 def test_mentions_stage_is_map_only(spark, tables):
     p = plan(detect_mentions(tables["transcripts"], tables["mention_terms"]))
     # no exchange: detection + occ_idx assignment never shuffles
