@@ -109,8 +109,51 @@ def _nearest_cells(vectors: DataFrame, centroids: DataFrame, n_probe: int) -> Da
     )
 
 
+def train_centroids(
+    embeddings: DataFrame, n_list: int, iters: int
+) -> DataFrame:
+    """Deterministic Lloyd refinement of the first-n_list init centroids.
+
+    Each iteration: assign every vector to its nearest centroid (broadcast
+    crossJoin — one scan), then recompute each cell's element-wise mean
+    relationally (posexplode + groupBy(cid, pos) avg). The new centroid table
+    (n_list x dim values) is collected to the driver and re-broadcast — the
+    standard IVF training shape: corpus-size work stays distributed, only the
+    centroid table (KBs) round-trips. No RNG anywhere; init = lowest vec_ids,
+    ties in assignment break toward the lower cid, so results are stable
+    across runs and partitionings.
+    """
+    cent = (
+        embeddings.orderBy("vec_id")
+        .limit(n_list)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    for _ in range(iters):
+        assigned = _nearest_cells(embeddings, cent, 1)
+        means = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.col("pm.m").alias("cvec"))
+        )
+        rows = means.collect()  # n_list rows — the tiny centroid table only
+        spark = embeddings.sparkSession
+        cent = spark.createDataFrame(
+            [(int(r.cid), [float(x) for x in r.cvec]) for r in rows],
+            "cid int, cvec array<float>",
+        )
+    return cent
+
+
 def ivf_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 5, n_list: int = 8, n_probe: int = 2
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_list: int = 8,
+    n_probe: int = 2,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN — the coarse-quantizer scale path.
 
@@ -123,12 +166,13 @@ def ivf_topk(
     per-cell join key makes the probe a co-partitioned equi-join rather than the
     brute-force crossJoin of :func:`cosine_topk`. Recall < 1 by construction;
     tests measure it against the exact baseline.
+
+    ``train_iters > 0`` refines the init centroids with deterministic Lloyd
+    iterations (:func:`train_centroids`) — better-balanced cells on real
+    corpora; the default 0 keeps the first-n quantizer whose DuckDB oracle is
+    exact.
     """
-    cent = (
-        embeddings.orderBy("vec_id")
-        .limit(n_list)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-    )
+    cent = train_centroids(embeddings, n_list, train_iters)
     assigned = _nearest_cells(embeddings, cent, 1).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cid"
     )

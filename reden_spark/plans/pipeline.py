@@ -163,11 +163,32 @@ def main() -> None:
     ap.add_argument("--grouped", action="store_true", help="use the applyInPandas stage-3 variant")
     ap.add_argument("--master", default=None)
     ap.add_argument("--base-prefix", default=BASE_PREFIX)
-    ap.add_argument("--preferred-uri", default=BASE_PREFIX)
+    ap.add_argument("--preferred-uri", default=BASE_PREFIX, help="preferedURIOrder prefix or 'ALL'")
+    ap.add_argument(
+        "--centrality",
+        default="DegreeCentrality",
+        choices=[
+            "DegreeCentrality",
+            "EigenvectorCentrality",
+            "BrandesBetweennessCentrality",
+            "FreemanClosenessCentrality",
+        ],
+        help="centralityMeasure (CentralityHandler.java:137-152); Brandes/Freeman require --grouped",
+    )
+    ap.add_argument(
+        "--crawl-sameas",
+        default="ALL",
+        help="restrict sameAs expansion to objects with this prefix (GraphHandlerNEL.java:143-167)",
+    )
     a = ap.parse_args()
 
     spark = get_spark("reden-pipeline", master=a.master or os.environ.get("SPARK_MASTER"))
-    cfg = NELConfig(base_prefix=a.base_prefix, preferred_uri=a.preferred_uri)
+    cfg = NELConfig(
+        base_prefix=a.base_prefix,
+        preferred_uri=a.preferred_uri,
+        centrality=a.centrality,
+        crawl_sameas=a.crawl_sameas,
+    )
     t0 = time.time()
     dfs = run_pipeline(spark, a.data_dir, a.out_dir, cfg, a.from_stage, a.grouped)
     n_links = dfs["links"].count()

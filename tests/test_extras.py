@@ -342,6 +342,27 @@ def test_ivf_topk_recall_and_shape(emb):
     assert full == exact
 
 
+def test_ivf_trained_centroids(emb):
+    """Lloyd-trained quantizer: training actually moves the centroids, results
+    stay deterministic across runs, the top-k shape holds, and probing all
+    cells still recovers the exact result (training changes the cells, never
+    the scoring)."""
+    from reden_spark.operators.similarity import cosine_topk, ivf_topk, train_centroids
+
+    qids = [0, 1, 2, 3, 4]
+    init = {r.cid: list(r.cvec) for r in train_centroids(emb, 8, 0).collect()}
+    trained = {r.cid: list(r.cvec) for r in train_centroids(emb, 8, 2).collect()}
+    assert set(init) == set(trained) and any(init[c] != trained[c] for c in init)
+
+    a = {(r.query_id, r.rank, r.neighbor_id) for r in ivf_topk(emb, qids, k=5, n_list=8, n_probe=2, train_iters=2).collect()}
+    b = {(r.query_id, r.rank, r.neighbor_id) for r in ivf_topk(emb, qids, k=5, n_list=8, n_probe=2, train_iters=2).collect()}
+    assert a == b and len({q for q, _, _ in a}) == len(qids)
+
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    full = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, qids, k=5, n_list=8, n_probe=8, train_iters=2).collect()}
+    assert full == exact
+
+
 def test_multimodal_plumbing(spark, docs):
     from reden_spark.operators.multimodal import (
         attach_fake_media,
