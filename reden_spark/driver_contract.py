@@ -820,6 +820,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_read(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_list=8, n_probe=2)
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the Lloyd-trained quantizer (train_iters=2) — rows-only: the
+    iterative float means are not stably SQL-expressible, parity is covered by
+    tests/test_extras.py::test_ivf_trained_centroids (determinism + full-probe
+    == exact top-k)."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _read(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_list=8, n_probe=2, train_iters=2
+    )
+
+
 def _sql_cosine(a: str, b: str) -> str:
     return (
         f"round(list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /"
@@ -1597,6 +1609,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_trained": q_ann_ivf_trained,
     "dedup_embedding": q_dedup_embedding,
     "kg_occurrences": q_kg_occurrences,
     "kg_geo_enrich": q_kg_geo_enrich,
