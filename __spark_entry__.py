@@ -6,10 +6,10 @@ transcripts table derived deterministically from sf0.001 events+nation.
 
 queries()/oracle_sql() — one entry per implemented operator from SURVEY.md §2
 plus the training-data extras; oracles are DuckDB SQL over the same derivation
-(see reden_spark/driver_contract.py). dedup_simhash / ann_lsh_topk /
-ann_ivf_trained / media_features are intentionally rows-only (engine-specific
-numpy/bit-level/iterative-float internals); each has a brute-force, recall, or
-determinism pytest in tests/test_extras.py.
+(see reden_spark/driver_contract.py). ann_lsh_topk / ann_ivf_trained /
+media_features are intentionally rows-only (engine-specific numpy/
+iterative-float internals); each has a brute-force, recall, or determinism
+pytest in tests/test_extras.py.
 """
 
 from __future__ import annotations

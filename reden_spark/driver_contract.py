@@ -777,10 +777,39 @@ SELECT * FROM (
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bit-level xxhash64 votes are Spark-specific: rows-only check (no oracle)
     from .operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_read(spark, sf_dir, "documents"), 2, 12)
+
+
+# Mirrors operators.dedup.simhash64/simhash_near_pairs exactly: 60-bit
+# md5-derived token hash, bit votes, max_hamming=12 -> 15 chunks of 4 bits.
+O_DEDUP_SIMHASH = (
+    _DUCK_SHINGLES.format(nm1=1)
+    + """
+, th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(shingles) AS tok FROM sh WHERE len(shingles) > 0)
+), votes AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN generate_series(0, 59) AS gs(bit)
+  GROUP BY doc_id, bit
+), hashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> (c * 4)) & 15 AS chunk_val
+  FROM hashes CROSS JOIN generate_series(0, 14) AS gc(c)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS h_a, b.simhash AS h_b
+  FROM chunks a JOIN chunks b USING (c, chunk_val) WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(h_a, h_b))::INT AS hamming
+FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 12
+"""
+)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,9 +1682,10 @@ ORACLES = {
     "dedup_minhash_lsh": O_DEDUP_MINHASH,
     "dedup_ngram_jaccard": O_DEDUP_NGRAM,
     "dedup_embedding": _o_dedup_embedding(),
-    # dedup_simhash / ann_lsh_topk / media_features: engine-specific internals,
-    # intentionally rows-only (no SQL oracle; simhash has a brute-force numpy
-    # parity test in tests/test_extras.py instead)
+    "dedup_simhash": O_DEDUP_SIMHASH,
+    # ann_lsh_topk / media_features: engine-specific internals, intentionally
+    # rows-only (no SQL oracle; lsh has a measured-recall test, media decode
+    # is a stubbed codec hook)
     "ann_cosine_topk": O_ANN_COSINE,
     "ann_ivf_topk": O_ANN_IVF,
     "kg_occurrences": O_KG_OCCURRENCES,

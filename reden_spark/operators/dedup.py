@@ -2,8 +2,9 @@
 extensions (task brief): exact, MinHash+LSH, n-gram Jaccard, SimHash.
 
 Engine-portability note: hash primitives are md5 hex strings (identical in Spark
-and DuckDB), so every operator except SimHash has an exact DuckDB oracle; min/max
-over hex strings is lexicographic and deterministic. All operators are pure
+and DuckDB), so every operator — SimHash included (60-bit md5-derived token
+hash) — has an exact DuckDB oracle; min/max over hex strings is lexicographic
+and deterministic. All operators are pure
 DataFrame expressions (whole-stage codegen; no Python in the hot path).
 
 Scale notes:
@@ -241,18 +242,24 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 
     )
 
 
+SIMHASH_BITS = 60  # 15 md5 hex chars -> engine-portable (same digest in DuckDB)
+
+
 def simhash64(docs: DataFrame, shingle_n: int = 2) -> DataFrame:
-    """64-bit SimHash per document (Spark-native xxhash64 bit votes; no SQL oracle —
-    bit-level ops are engine-specific, recorded as a rows-only check)."""
+    """60-bit SimHash per document. The per-token hash is the first 15 hex chars
+    of md5 (the same portable primitive as the MinHash base hash), so the whole
+    computation — bit votes, shifts, bit_count — is expressible identically in
+    DuckDB and the contract query has an exact SQL oracle (O_DEDUP_SIMHASH).
+    Pure Column expressions; whole-stage codegen end to end."""
     sh = _fan_out(docs).select(
         "doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     tokens = sh.select("doc_id", F.explode("shingles").alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
+        "h", F.expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)")
     )
     bits = tokens.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
         F.col("h"),
     ).withColumn("vote", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"))
     agg = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
@@ -271,16 +278,16 @@ def simhash_near_pairs(docs: DataFrame, shingle_n: int = 2, max_hamming: int = 8
     exact chunk — recall is 1.0 within max_hamming (parity test vs a
     brute-force numpy oracle in tests/test_extras.py).
 
-    Scale note: more chunks = narrower chunk values = coarser blocks (16
-    chunks of 4 bits have only 16*16 distinct block keys). At 100 TB keep
-    max_hamming <= 7 (8 chunks of 8 bits) or <= 3 (4 chunks of 16 bits);
+    Scale note: more chunks = narrower chunk values = coarser blocks (15
+    chunks of 4 bits have only 15*16 distinct block keys). At 100 TB keep
+    max_hamming <= 5 (6 chunks of 10 bits) or <= 3 (4 chunks of 15 bits);
     larger radii need combination blocking (Manku et al., WWW'07)."""
-    for n_chunks in (4, 8, 16, 32):
+    for n_chunks in (4, 5, 6, 10, 12, 15, 20, 30):  # divisors of SIMHASH_BITS
         if n_chunks >= max_hamming + 1:
             break
     else:
-        raise ValueError(f"max_hamming={max_hamming} > 31 unsupported (needs >31 chunks)")
-    bits = 64 // n_chunks
+        raise ValueError(f"max_hamming={max_hamming} > 29 unsupported (needs >29 chunks)")
+    bits = SIMHASH_BITS // n_chunks
     mask = (1 << bits) - 1
     h = simhash64(docs, shingle_n)
     chunks = h.select(
