@@ -1576,7 +1576,13 @@ def q_dico_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ref"),
         F.when(
             F.col("c_custkey") % 4 == 0,
-            F.concat(F.lit("Rejected"), F.col("c_custkey").cast("string")),
+            # the ' (pseudonyme)' suffix on every 8th key exercises the
+            # reference's truncate-at-'(' of rejected forms (BNF :176-178)
+            F.concat(
+                F.lit("Rejected"),
+                F.col("c_custkey").cast("string"),
+                F.when(F.col("c_custkey") % 8 == 0, F.lit(" (pseudonyme)")).otherwise(F.lit("")),
+            ),
         ).alias("rejected_form"),
     )
     d = build_dico(persons, greater_than=1820, lesser_than=1880)
@@ -1592,7 +1598,10 @@ WITH persons AS (
          CAST(1800 + c_custkey % 100 AS VARCHAR) AS birth_date,
          CAST(1850 + c_custkey % 100 AS VARCHAR) AS death_date,
          CASE WHEN c_custkey % 3 = 0 THEN 'http://ext.kb/person/' || CAST(c_custkey AS VARCHAR) END AS ref,
-         CASE WHEN c_custkey % 4 = 0 THEN 'Rejected' || CAST(c_custkey AS VARCHAR) END AS rejected_form,
+         -- truncate-at-'(' applied here mirrors clean_label on the Spark side
+         CASE WHEN c_custkey % 4 = 0 THEN trim(split_part(
+           'Rejected' || CAST(c_custkey AS VARCHAR) ||
+           CASE WHEN c_custkey % 8 = 0 THEN ' (pseudonyme)' ELSE '' END, '(', 1)) END AS rejected_form,
          1800 + c_custkey % 100 AS birth_year
   FROM customer
 ), filtered AS (
@@ -1616,6 +1625,89 @@ WITH persons AS (
 )
 SELECT alias, lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm, name, letter, uris_joined
 FROM exploded WHERE alias != ''
+"""
+
+
+def q_dico_build_bne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BNE-source builder over a synthetic author dump derived from supplier:
+    two SPARQL-style result rows per author (different rejected form / ref),
+    a has-work gate via n_works, hyphenated accepted forms (display-name
+    normalization), a digit-initial subset (the 'other' letter bucket) and a
+    '(seudonimo)' suffix exercising the truncate-at-'(' path."""
+    from .plans.dico_build import build_bne_dico
+
+    s = _read(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ks = k.cast("string")
+    base = s.select(
+        F.concat(F.lit("http://kb.test/bne/author/"), ks).alias("uri"),
+        F.concat(
+            F.when(k % 10 == 0, F.lit("3")).otherwise(F.lit("")),
+            F.lit("Garcia-Marquez"),
+            ks,
+        ).alias("accepted_form"),
+        (k % 5).alias("n_works"),
+        k.alias("k"),
+    )
+    kk = F.col("k")
+    kks = kk.cast("string")
+    row1 = base.select(
+        "uri",
+        "accepted_form",
+        "n_works",
+        F.when(kk % 3 == 0, F.concat(F.lit("Gabo"), kks, F.lit(" (seudonimo)")))
+        .when(kk % 3 == 1, F.concat(F.lit("G. Marquez "), kks))
+        .alias("rejected_form"),
+        F.when(kk % 2 == 0, F.concat(F.lit("http://ext.kb/bne/"), kks)).alias("ref"),
+    )
+    row2 = base.select(
+        "uri",
+        "accepted_form",
+        "n_works",
+        F.when(kk % 4 == 0, F.concat(F.lit("El Maestro "), kks)).alias("rejected_form"),
+        F.when(kk % 3 == 0, F.concat(F.lit("http://other.kb/bne/"), kks)).alias("ref"),
+    )
+    d = build_bne_dico(row1.unionByName(row2))
+    return d.select("alias", "alias_norm", "name", "letter", F.concat_ws(" ", "uris").alias("uris_joined"))
+
+
+O_DICO_BUILD_BNE = """
+WITH base AS (
+  SELECT 'http://kb.test/bne/author/' || CAST(s_suppkey AS VARCHAR) AS uri,
+         CASE WHEN s_suppkey % 10 = 0 THEN '3' ELSE '' END
+           || 'Garcia-Marquez' || CAST(s_suppkey AS VARCHAR) AS accepted_form,
+         s_suppkey % 5 AS n_works,
+         s_suppkey AS k
+  FROM supplier
+), rows_ AS (
+  SELECT uri, accepted_form, n_works,
+         CASE WHEN k % 3 = 0 THEN 'Gabo' || CAST(k AS VARCHAR) || ' (seudonimo)'
+              WHEN k % 3 = 1 THEN 'G. Marquez ' || CAST(k AS VARCHAR) END AS rejected_form,
+         CASE WHEN k % 2 = 0 THEN 'http://ext.kb/bne/' || CAST(k AS VARCHAR) END AS ref
+  FROM base
+  UNION ALL
+  SELECT uri, accepted_form, n_works,
+         CASE WHEN k % 4 = 0 THEN 'El Maestro ' || CAST(k AS VARCHAR) END,
+         CASE WHEN k % 3 = 0 THEN 'http://other.kb/bne/' || CAST(k AS VARCHAR) END
+  FROM base
+), sharded AS (
+  SELECT *, CASE WHEN lower(substring(accepted_form, 1, 1)) BETWEEN 'a' AND 'z'
+                 THEN lower(substring(accepted_form, 1, 1)) ELSE 'other' END AS letter
+  FROM rows_ WHERE n_works > 0
+), merged AS (
+  SELECT uri, any_value(accepted_form) AS accepted_form, any_value(letter) AS letter,
+         list_sort(list_distinct(list(trim(split_part(rejected_form, '(', 1))))) AS rejected_forms,
+         list_sort(list_distinct(list(ref))) AS refs
+  FROM sharded GROUP BY uri
+)
+SELECT alias,
+       lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm,
+       regexp_replace(regexp_replace(trim(replace(accepted_form, '-', ' ')),
+                                     '''', ''' ', 'g'), '  ', ' ', 'g') AS name,
+       letter,
+       array_to_string([uri] || refs, ' ') AS uris_joined
+FROM merged, unnest(rejected_forms) AS t(alias)
+WHERE alias != ''
 """
 
 
@@ -1655,6 +1747,7 @@ QUERIES = {
     "dico_regex_lookup": q_dico_regex_lookup,
     "dico_geonames": q_dico_geonames,
     "dico_build_places": q_dico_build_places,
+    "dico_build_bne": q_dico_build_bne,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
@@ -1703,6 +1796,7 @@ ORACLES = {
     "dico_regex_lookup": O_DICO_REGEX_LOOKUP,
     "dico_geonames": O_DICO_GEONAMES,
     "dico_build_places": O_DICO_BUILD_PLACES,
+    "dico_build_bne": O_DICO_BUILD_BNE,
     "text_token_count": O_TEXT_TOKEN_COUNT,
     "text_quality": O_TEXT_QUALITY,
     "text_language_id": O_TEXT_LANGUAGE_ID,

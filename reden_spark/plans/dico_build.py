@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.aliases import aliases_udf
-from ..functions.text import normalize_mention, year_from_date
+from ..functions.text import clean_label, normalize_mention, year_from_date
 
 
 def build_dico(
@@ -50,7 +50,9 @@ def build_dico(
         F.first("death_date", ignorenulls=True).alias("death_date"),
         F.first("letter", ignorenulls=True).alias("letter"),
         F.array_sort(F.collect_set("ref")).alias("refs"),
-        F.array_sort(F.collect_set("rejected_form")).alias("rejected_forms"),
+        # rejected forms are truncated at '(' + trimmed before dedup
+        # (QueryAuthorBNF.java:176-178; same in the BNE/Getty sources)
+        F.array_sort(F.collect_set(clean_label("rejected_form"))).alias("rejected_forms"),
     )
 
     # display name "Last, First (birth-death)" (AuthorBNF.getNormalisedName :93-105)
@@ -78,6 +80,57 @@ def build_dico(
             F.explode("all_aliases").alias("alias"),
             name.alias("name"),
             F.lit(ne_type).alias("ne_type"),
+            "uris",
+            "letter",
+        )
+        .filter(F.col("alias") != "")
+        .withColumn("alias_norm", normalize_mention("alias"))
+        .select("alias", "alias_norm", "name", "ne_type", "uris", "letter")
+    )
+
+
+def build_bne_dico(authors: DataFrame, letters: list[str] | None = None) -> DataFrame:
+    """BNE author-catalog dictionary builder — the semantics that differ from
+    the BNF/Getty family (QueryAuthorBNE.java:60-243, AuthorBNE.java:35-71):
+
+      * has-work gate: only catalogued authors (``?author ns2:OP5001 ?work``,
+        QueryAuthorBNE.java:77) -> ``n_works > 0``;
+      * letter shard on the WHOLE accepted form (the SPARQL filterRegex on
+        ``STR(?acceptedForm)``, :66-71; BNF shards on the last name), with the
+        'other' bucket for non-a-z initials;
+      * NO alias generation: emitted aliases are the rejected forms ONLY —
+        writeAuthorToFile (:231-241) iterates ``getRejectedForms``; the
+        accepted form itself is never emitted, and an author with no rejected
+        forms yields no dictionary rows. Each rejected form is truncated at
+        '(' + trimmed (:184-186) and deduplicated per author (:206-208);
+      * display name = accepted form with '-' -> ' ' + trim
+        (AuthorBNE.setLastname :40) then "'" -> "' " and double-space collapse
+        (getNormalisedName :67-70);
+      * uris = author URI followed by the sameAs refs (:232-237).
+
+    Expects an offline dump (uri, accepted_form, rejected_form, ref, n_works)
+    with one row per (rejected_form, ref) combination, as a SPARQL result set
+    yields them."""
+    a = authors.filter(F.col("n_works") > 0)
+    letter = F.lower(F.substring(F.col("accepted_form"), 1, 1))
+    a = a.withColumn("letter", F.when(letter.rlike("^[a-z]$"), letter).otherwise(F.lit("other")))
+    if letters is not None:
+        a = a.filter(F.col("letter").isin(letters))
+
+    merged = a.groupBy("uri").agg(
+        F.first("accepted_form", ignorenulls=True).alias("accepted_form"),
+        F.first("letter", ignorenulls=True).alias("letter"),
+        F.array_sort(F.collect_set("ref")).alias("refs"),
+        F.array_sort(F.collect_set(clean_label("rejected_form"))).alias("rejected_forms"),
+    )
+    name = F.trim(F.translate("accepted_form", "-", " "))
+    name = F.regexp_replace(F.regexp_replace(name, "'", "' "), "  ", " ")
+    return (
+        merged.withColumn("uris", F.concat(F.array("uri"), "refs"))
+        .select(
+            F.explode("rejected_forms").alias("alias"),
+            name.alias("name"),
+            F.lit("PER").alias("ne_type"),
             "uris",
             "letter",
         )
