@@ -147,7 +147,9 @@ def build_place_dico(
     sameas_prefix: str | None = "http://dbpedia.org/",
 ) -> DataFrame:
     """Place-source dictionary builder — the LOC twin of :func:`build_dico`
-    (QueryPlaceDBpedia.java:60-205; QueryPlaceWikiData.java:62-143). Expects an
+    (QueryPlaceDBpedia.java:60-205; QueryPlaceWikiData.java:62-143; the same
+    PlaceEntry pref/alt-with-fallback/uri shape covers QueryPlaceBNF.java:64-140
+    and QueryPlaceLinkedGeoData.java:69-143). Expects an
     offline place dump with columns
     (uri, label, label_lang, alt_label, alt_lang, is_place, lat, lon, sameas).
 
