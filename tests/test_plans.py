@@ -125,3 +125,22 @@ def test_enrich_and_compare_ops(spark, tables, fixture_dir):
     pc = population_completeness(gold, kb_uris).first()
     assert pc.n_covered == pc.n_gold_entities  # fixture gold is dico-covered
     assert pc.completeness == 1.0
+
+
+def test_bne_dico_single_exchange(spark):
+    """The BNE builder's only shuffle is the merge-by-URI aggregation: partial
+    collect_sets before one hash Exchange on uri; the downstream explode /
+    normalize / name projection adds no further data movement."""
+    import re
+
+    from reden_spark.plans.dico_build import build_bne_dico
+
+    authors = spark.createDataFrame(
+        [("u1", "Garcia-Lorca", "Federico (poeta)", "http://ext.kb/x", 2)],
+        "uri string, accepted_form string, rejected_form string, ref string, n_works int",
+    )
+    p = plan(build_bne_dico(authors))
+    exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", p)}
+    assert len(exchange_ids) == 1, f"expected 1 Exchange, got {len(exchange_ids)}\n{p[:1500]}"
+    assert "hashpartitioning(uri" in p
+    assert "partial_" in p  # map-side partial aggregation before the shuffle
