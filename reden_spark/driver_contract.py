@@ -1711,6 +1711,113 @@ WHERE alias != ''
 """
 
 
+def q_dico_build_getty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getty ULAN builder over a synthetic concept dump derived from part:
+    comma-split prefLabels (incl. no-comma and hyphenated variants), an
+    'other'-bucket digit-initial subset, AAT gender codes (incl. missing),
+    own-vocab exactMatch refs (excluded) vs external refs (kept), and a
+    '(pittore)' alt label kept VERBATIM — the no-truncation semantics that
+    distinguish Getty from BNF/BNE."""
+    from .plans.dico_build import GETTY_FEMALE_CODE, build_getty_dico
+
+    male = "http://vocab.getty.edu/aat/300189559"
+    p = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    base = p.select(
+        F.concat(F.lit("http://vocab.getty.edu/ulan/"), ks).alias("uri"),
+        F.when(k % 10 == 0, F.concat(F.lit("3Vinci"), ks))
+        .when(k % 5 == 0, F.concat(F.lit("Rembrandt"), ks))
+        .when(k % 7 == 0, F.concat(F.lit("Van-Dyck"), ks, F.lit(", Antoon"), ks))
+        .otherwise(F.concat(F.lit("Vermeer"), ks, F.lit(", Johannes"), ks))
+        .alias("pref_label"),
+        F.when(k % 3 == 0, F.lit(GETTY_FEMALE_CODE))
+        .when(k % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit(male))
+        .alias("gender"),
+        k.alias("k"),
+    )
+    kk = F.col("k")
+    kks = kk.cast("string")
+    row1 = base.select(
+        "uri",
+        "pref_label",
+        F.when(kk % 4 == 0, F.concat(F.lit("Il Maestro (pittore) "), kks)).alias("alt_label"),
+        F.when(kk % 2 == 0, F.concat(F.lit("http://vocab.getty.edu/aat/3001"), kks)).alias("ref"),
+        "gender",
+    )
+    row2 = base.select(
+        "uri",
+        "pref_label",
+        F.when(kk % 6 == 0, F.concat(F.lit("Le Peintre "), kks)).alias("alt_label"),
+        F.when(kk % 3 == 0, F.concat(F.lit("http://ext.kb/ulan/"), kks)).alias("ref"),
+        "gender",
+    )
+    d = build_getty_dico(row1.unionByName(row2))
+    return d.select("alias", "alias_norm", "name", "letter", F.concat_ws(" ", "uris").alias("uris_joined"))
+
+
+O_DICO_BUILD_GETTY = """
+WITH base AS (
+  SELECT 'http://vocab.getty.edu/ulan/' || CAST(p_partkey AS VARCHAR) AS uri,
+         CASE WHEN p_partkey % 10 = 0 THEN '3Vinci' || CAST(p_partkey AS VARCHAR)
+              WHEN p_partkey % 5 = 0 THEN 'Rembrandt' || CAST(p_partkey AS VARCHAR)
+              WHEN p_partkey % 7 = 0 THEN 'Van-Dyck' || CAST(p_partkey AS VARCHAR)
+                                          || ', Antoon' || CAST(p_partkey AS VARCHAR)
+              ELSE 'Vermeer' || CAST(p_partkey AS VARCHAR)
+                   || ', Johannes' || CAST(p_partkey AS VARCHAR) END AS nom,
+         CASE WHEN p_partkey % 3 = 0 THEN 'http://vocab.getty.edu/aat/300189557'
+              WHEN p_partkey % 11 = 0 THEN NULL
+              ELSE 'http://vocab.getty.edu/aat/300189559' END AS gender,
+         p_partkey AS k
+  FROM part
+), rows_ AS (
+  SELECT uri, nom, gender,
+         CASE WHEN k % 4 = 0 THEN 'Il Maestro (pittore) ' || CAST(k AS VARCHAR) END AS alt,
+         CASE WHEN k % 2 = 0 THEN 'http://vocab.getty.edu/aat/3001' || CAST(k AS VARCHAR) END AS ref
+  FROM base
+  UNION ALL
+  SELECT uri, nom, gender,
+         CASE WHEN k % 6 = 0 THEN 'Le Peintre ' || CAST(k AS VARCHAR) END,
+         CASE WHEN k % 3 = 0 THEN 'http://ext.kb/ulan/' || CAST(k AS VARCHAR) END
+  FROM base
+), named AS (
+  SELECT uri, alt, ref,
+         trim(replace(split_part(nom, ',', 1), '-', ' ')) AS last,
+         trim(replace(CASE WHEN instr(nom, ',') > 0
+                           THEN split_part(nom, ',', 2) ELSE '' END, '-', ' ')) AS first,
+         CASE WHEN gender = 'http://vocab.getty.edu/aat/300189557' THEN 'Mme' ELSE 'M' END AS title,
+         CASE WHEN lower(substring(nom, 1, 1)) BETWEEN 'a' AND 'z'
+              THEN lower(substring(nom, 1, 1)) ELSE 'other' END AS letter
+  FROM rows_
+), merged AS (
+  SELECT uri, any_value(last) AS last, any_value(first) AS first,
+         any_value(title) AS title, any_value(letter) AS letter,
+         list_sort(list_distinct(list(CASE WHEN ref NOT LIKE 'http://vocab.getty.edu%' THEN ref END))) AS refs,
+         list_sort(list_distinct(list(alt))) AS alts
+  FROM named GROUP BY uri
+), aliased AS (
+  SELECT *,
+         CASE WHEN first != '' THEN
+           list_value(first || ' ' || last, last,
+                      title || ' ' || last, title || '. ' || last,
+                      title || ' ' || first || ' ' || last,
+                      title || '. ' || first || ' ' || last,
+                      substring(first, 1, 1) || ' ' || last,
+                      substring(first, 1, 1) || '. ' || last)
+         ELSE list_value(last, title || ' ' || last, title || '. ' || last) END AS gen
+  FROM merged
+)
+SELECT alias,
+       lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm,
+       CASE WHEN first = '' THEN last ELSE last || ', ' || first END AS name,
+       letter,
+       array_to_string([uri] || refs, ' ') AS uris_joined
+FROM aliased, unnest(list_distinct(gen || alts)) AS t(alias)
+WHERE alias != ''
+"""
+
+
 QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_candidates": q_kg_candidates,
@@ -1748,6 +1855,7 @@ QUERIES = {
     "dico_geonames": q_dico_geonames,
     "dico_build_places": q_dico_build_places,
     "dico_build_bne": q_dico_build_bne,
+    "dico_build_getty": q_dico_build_getty,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
@@ -1797,6 +1905,7 @@ ORACLES = {
     "dico_geonames": O_DICO_GEONAMES,
     "dico_build_places": O_DICO_BUILD_PLACES,
     "dico_build_bne": O_DICO_BUILD_BNE,
+    "dico_build_getty": O_DICO_BUILD_GETTY,
     "text_token_count": O_TEXT_TOKEN_COUNT,
     "text_quality": O_TEXT_QUALITY,
     "text_language_id": O_TEXT_LANGUAGE_ID,

@@ -51,7 +51,8 @@ def build_dico(
         F.first("letter", ignorenulls=True).alias("letter"),
         F.array_sort(F.collect_set("ref")).alias("refs"),
         # rejected forms are truncated at '(' + trimmed before dedup
-        # (QueryAuthorBNF.java:176-178; same in the BNE/Getty sources)
+        # (QueryAuthorBNF.java:176-178; BNE does the same at :184-186 —
+        # Getty keeps alt labels verbatim, see build_getty_dico)
         F.array_sort(F.collect_set(clean_label("rejected_form"))).alias("rejected_forms"),
     )
 
@@ -129,6 +130,93 @@ def build_bne_dico(authors: DataFrame, letters: list[str] | None = None) -> Data
         merged.withColumn("uris", F.concat(F.array("uri"), "refs"))
         .select(
             F.explode("rejected_forms").alias("alias"),
+            name.alias("name"),
+            F.lit("PER").alias("ne_type"),
+            "uris",
+            "letter",
+        )
+        .filter(F.col("alias") != "")
+        .withColumn("alias_norm", normalize_mention("alias"))
+        .select("alias", "alias_norm", "name", "ne_type", "uris", "letter")
+    )
+
+
+GETTY_FEMALE_CODE = "http://vocab.getty.edu/aat/300189557"
+
+
+def build_getty_dico(
+    concepts: DataFrame,
+    own_prefix: str = "http://vocab.getty.edu",
+    letters: list[str] | None = None,
+) -> DataFrame:
+    """Getty ULAN person-concept dictionary builder
+    (QueryArtPersonalityGetty.java:60-252; Personality class :254-420).
+    Expects an offline dump (uri, pref_label, alt_label, ref, gender) with one
+    row per SPARQL result row. What differs from the BNF family:
+
+      * the name arrives as ONE skos:prefLabel "Last, First" — comma-split
+        (:183-195); a label with no comma has no first name ('-', which the
+        setters' '-' -> ' ' + trim turn into ''), so only last-name alias
+        forms are generated;
+      * sameAs refs are skos:exactMatch targets with the Getty vocabulary
+        itself EXCLUDED (the SPARQL ``!regex(STR(?ref),'^http://vocab.getty.edu')``
+        filter, :107) -> drop refs starting with `own_prefix`;
+      * gender is an AAT concept code: the female code picks the 'Mme' title
+        in alias generation, anything else (incl. missing) picks 'M'
+        (Personality.getTitle :287-293);
+      * alt labels become rejected forms VERBATIM — no truncate-at-'(' and no
+        trim (processResults :172-186; contrast BNF :176-178, BNE :184-186);
+      * the display name carries no (birth-death) suffix — the model has no
+        usable dates (the which-birthdate TODO at :110-112);
+      * letter shard on the full prefLabel (the ?nom filterRegex :90-95), not
+        on the split last name.
+    """
+    letter = F.lower(F.substring(F.col("pref_label"), 1, 1))
+    g = concepts.withColumn(
+        "letter", F.when(letter.rlike("^[a-z]$"), letter).otherwise(F.lit("other"))
+    )
+    if letters is not None:
+        g = g.filter(F.col("letter").isin(letters))
+
+    parts = F.split(F.col("pref_label"), ",")
+    # Personality.setLastname/setFirstname: '-' -> ' ' then trim (:276,281);
+    # F.get returns NULL past the end (no-comma labels) -> first_name ''.
+    last = F.trim(F.translate(F.get(parts, 0), "-", " "))
+    first = F.trim(F.translate(F.coalesce(F.get(parts, 1), F.lit("")), "-", " "))
+    kept_ref = F.when(~F.col("ref").startswith(own_prefix), F.col("ref"))
+    g = g.withColumn("last_name", last).withColumn("first_name", first)
+
+    merged = g.groupBy("uri").agg(
+        F.first("first_name", ignorenulls=True).alias("first_name"),
+        F.first("last_name", ignorenulls=True).alias("last_name"),
+        F.first("gender", ignorenulls=True).alias("gender"),
+        F.first("letter", ignorenulls=True).alias("letter"),
+        F.array_sort(F.collect_set(kept_ref)).alias("refs"),
+        F.array_sort(F.collect_set("alt_label")).alias("alt_forms"),
+    )
+
+    # "Last, First" with "'" -> "' " + double-space collapse, no dates
+    # (Personality.getNormalisedName :349-358)
+    name = F.when(
+        F.col("first_name").isNull() | F.col("first_name").isin("-", ""),
+        F.col("last_name"),
+    ).otherwise(F.concat_ws(", ", "last_name", "first_name"))
+    name = F.regexp_replace(F.regexp_replace(name, "'", "' "), "  ", " ")
+
+    gender_word = F.when(F.col("gender") == GETTY_FEMALE_CODE, F.lit("female")).otherwise(
+        F.lit("male")
+    )
+    with_aliases = merged.withColumn(
+        "all_aliases",
+        F.array_union(
+            aliases_udf("first_name", "last_name", gender_word),
+            F.col("alt_forms"),
+        ),
+    ).withColumn("uris", F.concat(F.array("uri"), "refs"))
+
+    return (
+        with_aliases.select(
+            F.explode("all_aliases").alias("alias"),
             name.alias("name"),
             F.lit("PER").alias("ne_type"),
             "uris",

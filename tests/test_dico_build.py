@@ -60,6 +60,51 @@ def test_build_bne_dico_rules(spark):
     assert a2.name == "3D' Annunzio" and a2.letter == "other"
 
 
+def test_build_getty_dico_rules(spark):
+    """Getty ULAN semantics (QueryArtPersonalityGetty.java:60-252, Personality
+    :254-420): prefLabel comma-split, own-vocab exactMatch exclusion, AAT
+    gender code -> Mme/M title, alt labels kept verbatim (NO '(' truncation),
+    no (birth-death) suffix, letter shard on the full prefLabel."""
+    from reden_spark.plans.dico_build import GETTY_FEMALE_CODE, build_getty_dico
+
+    male = "http://vocab.getty.edu/aat/300189559"
+    rows = [
+        # two result rows merged; getty exactMatch excluded, external kept;
+        # alt label with '(' kept verbatim
+        ("http://vocab.getty.edu/ulan/1", "Gogh, Vincent van", "Vincent (painter)",
+         "http://vocab.getty.edu/aat/x1", male),
+        ("http://vocab.getty.edu/ulan/1", "Gogh, Vincent van", None,
+         "http://ext.kb/ulan/1", male),
+        # female AAT code -> Mme title; hyphen in split names -> ' '
+        ("http://vocab.getty.edu/ulan/2", "Vigee-Le Brun, Elisabeth", None, None,
+         GETTY_FEMALE_CODE),
+        # no comma -> last-name-only alias forms; digit initial -> 'other'
+        ("http://vocab.getty.edu/ulan/3", "3Rembrandt", None, None, None),
+    ]
+    concepts = spark.createDataFrame(
+        rows, "uri string, pref_label string, alt_label string, ref string, gender string"
+    )
+    d = build_getty_dico(concepts)
+    by_alias = {}
+    for r in d.collect():
+        by_alias.setdefault(r.alias, []).append(r)
+
+    gogh = by_alias["Vincent van Gogh"][0]
+    assert gogh.name == "Gogh, Vincent van" and gogh.letter == "g"  # no date suffix
+    assert list(gogh.uris) == ["http://vocab.getty.edu/ulan/1", "http://ext.kb/ulan/1"]
+    assert "Vincent (painter)" in by_alias  # verbatim alt, not truncated
+    assert "M. Gogh" in by_alias and "V Gogh" in by_alias
+    # female code picks Mme; hyphenated last name splits to spaces
+    assert "Mme Vigee Le Brun" in by_alias and "M Vigee Le Brun" not in by_alias
+    assert by_alias["Mme Vigee Le Brun"][0].name == "Vigee Le Brun, Elisabeth"
+    # no-comma label: only last-name forms, letter bucket 'other'
+    remb = by_alias["3Rembrandt"][0]
+    assert remb.letter == "other"
+    assert "M 3Rembrandt" in by_alias
+    assert not any(a.startswith("M ") and a.endswith(" 3Rembrandt") and len(a.split()) > 2
+                   for a in by_alias)
+
+
 def test_dico_tsv_roundtrip(spark, tables, tmp_path):
     dico = build_dico(tables["kb_persons"]).drop("letter")
     p = str(tmp_path / "dico_tsv")
