@@ -1711,6 +1711,95 @@ WHERE alias != ''
 """
 
 
+def q_dico_build_dbpediafr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBpedia-fr person builder over a synthetic dump derived from orders
+    (keys cut to ~1/3 by modulo): FR/EN primary-label mix (lang filter),
+    parenthesised primary labels kept VERBATIM while redirects truncate at
+    '(', dbpedia.org vs wikidata sameAs targets (prefix inclusion), and a
+    digit-initial subset for the 'other' letter bucket."""
+    from .plans.dico_build import build_dbpediafr_person_dico
+
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 < 3)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    base = o.select(
+        F.concat(F.lit("http://fr.dbpedia.org/resource/p"), ks).alias("uri"),
+        F.when(k % 9 == 0, F.concat(F.lit("9Moliere"), ks))
+        .when(k % 4 == 0, F.concat(F.lit("Jean-Racine"), ks, F.lit(" (dramaturge)")))
+        .otherwise(F.concat(F.lit("Corneille"), ks))
+        .alias("label"),
+        F.when(k % 7 == 0, F.lit("en")).otherwise(F.lit("fr")).alias("label_lang"),
+        k.alias("k"),
+    )
+    kk = F.col("k")
+    kks = kk.cast("string")
+    row1 = base.select(
+        "uri",
+        "label",
+        "label_lang",
+        F.when(kk % 2 == 0, F.concat(F.lit("Le Grand "), kks, F.lit(" (homonymie)"))).alias(
+            "redirect_label"
+        ),
+        F.when(kk % 6 == 0, F.lit("en")).otherwise(F.lit("fr")).alias("redirect_lang"),
+        F.when(kk % 3 == 0, F.concat(F.lit("http://dbpedia.org/resource/P"), kks)).alias("sameas"),
+    )
+    row2 = base.select(
+        "uri",
+        "label",
+        "label_lang",
+        F.when(kk % 5 == 0, F.concat(F.lit("L'Auteur "), kks)).alias("redirect_label"),
+        F.lit("fr").alias("redirect_lang"),
+        F.when(kk % 4 == 0, F.concat(F.lit("http://www.wikidata.org/entity/Q"), kks)).alias(
+            "sameas"
+        ),
+    )
+    d = build_dbpediafr_person_dico(row1.unionByName(row2))
+    return d.select("alias", "alias_norm", "name", "letter", F.concat_ws(" ", "uris").alias("uris_joined"))
+
+
+O_DICO_BUILD_DBPEDIAFR = """
+WITH base AS (
+  SELECT 'http://fr.dbpedia.org/resource/p' || CAST(o_orderkey AS VARCHAR) AS uri,
+         CASE WHEN o_orderkey % 9 = 0 THEN '9Moliere' || CAST(o_orderkey AS VARCHAR)
+              WHEN o_orderkey % 4 = 0 THEN 'Jean-Racine' || CAST(o_orderkey AS VARCHAR) || ' (dramaturge)'
+              ELSE 'Corneille' || CAST(o_orderkey AS VARCHAR) END AS label,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'en' ELSE 'fr' END AS label_lang,
+         o_orderkey AS k
+  FROM orders WHERE o_orderkey % 10 < 3
+), rows_ AS (
+  SELECT uri, label, label_lang,
+         CASE WHEN k % 2 = 0 THEN 'Le Grand ' || CAST(k AS VARCHAR) || ' (homonymie)' END AS redirect_label,
+         CASE WHEN k % 6 = 0 THEN 'en' ELSE 'fr' END AS redirect_lang,
+         CASE WHEN k % 3 = 0 THEN 'http://dbpedia.org/resource/P' || CAST(k AS VARCHAR) END AS sameas
+  FROM base
+  UNION ALL
+  SELECT uri, label, label_lang,
+         CASE WHEN k % 5 = 0 THEN 'L''Auteur ' || CAST(k AS VARCHAR) END,
+         'fr',
+         CASE WHEN k % 4 = 0 THEN 'http://www.wikidata.org/entity/Q' || CAST(k AS VARCHAR) END
+  FROM base
+), filtered AS (
+  SELECT *, CASE WHEN lower(substring(label, 1, 1)) BETWEEN 'a' AND 'z'
+                 THEN lower(substring(label, 1, 1)) ELSE 'other' END AS letter
+  FROM rows_ WHERE lower(label_lang) = 'fr'
+), merged AS (
+  SELECT uri, any_value(label) AS label, any_value(letter) AS letter,
+         list_sort(list_distinct(list(CASE WHEN sameas LIKE 'http://dbpedia.org/%' THEN sameas END))) AS refs,
+         list_sort(list_distinct(list(CASE WHEN lower(redirect_lang) = 'fr'
+                                           THEN trim(split_part(redirect_label, '(', 1)) END))) AS redirects
+  FROM filtered GROUP BY uri
+)
+SELECT alias,
+       lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm,
+       regexp_replace(regexp_replace(trim(replace(label, '-', ' ')),
+                                     '''', ''' ', 'g'), '  ', ' ', 'g') AS name,
+       letter,
+       array_to_string([uri] || refs, ' ') AS uris_joined
+FROM merged, unnest(list_distinct([label] || redirects)) AS t(alias)
+WHERE alias != ''
+"""
+
+
 def q_dico_build_getty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getty ULAN builder over a synthetic concept dump derived from part:
     comma-split prefLabels (incl. no-comma and hyphenated variants), an
@@ -1856,6 +1945,7 @@ QUERIES = {
     "dico_build_places": q_dico_build_places,
     "dico_build_bne": q_dico_build_bne,
     "dico_build_getty": q_dico_build_getty,
+    "dico_build_dbpediafr": q_dico_build_dbpediafr,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
@@ -1906,6 +1996,7 @@ ORACLES = {
     "dico_build_places": O_DICO_BUILD_PLACES,
     "dico_build_bne": O_DICO_BUILD_BNE,
     "dico_build_getty": O_DICO_BUILD_GETTY,
+    "dico_build_dbpediafr": O_DICO_BUILD_DBPEDIAFR,
     "text_token_count": O_TEXT_TOKEN_COUNT,
     "text_quality": O_TEXT_QUALITY,
     "text_language_id": O_TEXT_LANGUAGE_ID,

@@ -141,6 +141,66 @@ def build_bne_dico(authors: DataFrame, letters: list[str] | None = None) -> Data
     )
 
 
+def build_dbpediafr_person_dico(
+    persons: DataFrame,
+    letters: list[str] | None = None,
+    lang: str = "fr",
+    sameas_prefix: str = "http://dbpedia.org/",
+) -> DataFrame:
+    """DBpedia-fr person dictionary builder (QueryPersonDBpediafr.java:56-215,
+    AuthorDBpediaFr.java:6-71). Expects an offline dump
+    (uri, label, label_lang, redirect_label, redirect_lang, sameas) with one
+    row per SPARQL result row. Distinct semantics:
+
+      * language filter on the primary rdfs:label AND on wikiPageRedirects
+        labels (``langMatches(lang(?x),'FR')``, :79,83);
+      * letter shard on the raw primary label (filterRegex on ?labelfr, :65-70);
+      * NO alias generation: the PRIMARY label itself is emitted VERBATIM as an
+        alias (processResults adds ?labelfr to rejectedForms untruncated,
+        :171-173) while each REDIRECT label is truncated at '(' + trimmed
+        (:146-149,178-181) — the two label kinds get different cleanup;
+      * owl:sameAs refs kept only under `sameas_prefix` — a prefix INCLUSION
+        filter (``FILTER regex(str(?otherLinks),'^http://dbpedia.org/')``,
+        :85), the opposite polarity of Getty's own-vocab exclusion;
+      * display name = label with '-' -> ' ' + trim (setLastname :39-40),
+        then "'" -> "' " + double-space collapse (getNormalisedName :66-69);
+        no (birth-death) suffix (the date filter is a TODO, :88).
+    """
+    p = persons.filter(F.lower(F.col("label_lang")) == lang.lower())
+    letter = F.lower(F.substring(F.col("label"), 1, 1))
+    p = p.withColumn("letter", F.when(letter.rlike("^[a-z]$"), letter).otherwise(F.lit("other")))
+    if letters is not None:
+        p = p.filter(F.col("letter").isin(letters))
+
+    kept_ref = F.when(F.col("sameas").startswith(sameas_prefix), F.col("sameas"))
+    redirect = F.when(
+        F.lower(F.col("redirect_lang")) == lang.lower(), clean_label("redirect_label")
+    )
+    merged = p.groupBy("uri").agg(
+        F.first("label", ignorenulls=True).alias("label"),
+        F.first("letter", ignorenulls=True).alias("letter"),
+        F.array_sort(F.collect_set(kept_ref)).alias("refs"),
+        F.array_sort(F.collect_set(redirect)).alias("redirects"),
+    )
+
+    name = F.trim(F.translate("label", "-", " "))
+    name = F.regexp_replace(F.regexp_replace(name, "'", "' "), "  ", " ")
+    return (
+        merged.withColumn("all_aliases", F.array_union(F.array("label"), "redirects"))
+        .withColumn("uris", F.concat(F.array("uri"), "refs"))
+        .select(
+            F.explode("all_aliases").alias("alias"),
+            name.alias("name"),
+            F.lit("PER").alias("ne_type"),
+            "uris",
+            "letter",
+        )
+        .filter(F.col("alias") != "")
+        .withColumn("alias_norm", normalize_mention("alias"))
+        .select("alias", "alias_norm", "name", "ne_type", "uris", "letter")
+    )
+
+
 GETTY_FEMALE_CODE = "http://vocab.getty.edu/aat/300189557"
 
 

@@ -105,6 +105,44 @@ def test_build_getty_dico_rules(spark):
                    for a in by_alias)
 
 
+def test_build_dbpediafr_person_dico_rules(spark):
+    """DBpedia-fr person semantics (QueryPersonDBpediafr.java:56-215): FR lang
+    filter on primary + redirect labels, primary label verbatim vs redirect
+    truncated at '(', sameAs prefix INCLUSION, hyphen display-name cleanup."""
+    from reden_spark.plans.dico_build import build_dbpediafr_person_dico
+
+    rows = [
+        # merge across two result rows; redirect truncated; dbpedia ref kept,
+        # wikidata ref dropped (prefix inclusion)
+        ("http://fr.dbpedia.org/resource/p1", "Arthur Rimbaud (poete)", "fr",
+         "Rimbaud (Jean Arthur)", "fr", "http://dbpedia.org/resource/Rimbaud"),
+        ("http://fr.dbpedia.org/resource/p1", "Arthur Rimbaud (poete)", "fr",
+         "A. Rimbaud", "fr", "http://www.wikidata.org/entity/Q101"),
+        # non-fr redirect dropped; hyphenated label -> spaced display name
+        ("http://fr.dbpedia.org/resource/p2", "Saint-John Perse", "fr",
+         "Alexis Leger", "en", None),
+        # non-fr primary label -> row dropped entirely
+        ("http://fr.dbpedia.org/resource/p3", "Victor Hugo", "en", None, None, None),
+    ]
+    persons = spark.createDataFrame(
+        rows,
+        "uri string, label string, label_lang string, redirect_label string, "
+        "redirect_lang string, sameas string",
+    )
+    d = {r.alias: r for r in build_dbpediafr_person_dico(persons).collect()}
+    # primary label emitted VERBATIM (no '(' truncation); redirect truncated
+    assert set(d) == {"Arthur Rimbaud (poete)", "Rimbaud", "A. Rimbaud", "Saint-John Perse"}
+    p1 = d["Rimbaud"]
+    assert list(p1.uris) == [
+        "http://fr.dbpedia.org/resource/p1",
+        "http://dbpedia.org/resource/Rimbaud",
+    ]
+    assert p1.name == "Arthur Rimbaud (poete)" and p1.letter == "a"
+    p2 = d["Saint-John Perse"]
+    assert p2.name == "Saint John Perse" and p2.letter == "s"
+    assert list(p2.uris) == ["http://fr.dbpedia.org/resource/p2"]
+
+
 def test_dico_tsv_roundtrip(spark, tables, tmp_path):
     dico = build_dico(tables["kb_persons"]).drop("letter")
     p = str(tmp_path / "dico_tsv")
