@@ -144,3 +144,28 @@ def test_bne_dico_single_exchange(spark):
     assert len(exchange_ids) == 1, f"expected 1 Exchange, got {len(exchange_ids)}\n{p[:1500]}"
     assert "hashpartitioning(uri" in p
     assert "partial_" in p  # map-side partial aggregation before the shuffle
+
+
+def test_getty_and_dbpediafr_dico_single_exchange(spark):
+    """The Getty and DBpedia-fr builders keep the BNE shape: one hash Exchange
+    on uri (merge-by-URI) with map-side partial aggregation; comma-split /
+    gender-title / alias-explode / ref-filter logic all stays map-local."""
+    import re
+
+    from reden_spark.plans.dico_build import build_dbpediafr_person_dico, build_getty_dico
+
+    concepts = spark.createDataFrame(
+        [("u1", "Gogh, Vincent van", "Vincent", "http://ext.kb/1", None)],
+        "uri string, pref_label string, alt_label string, ref string, gender string",
+    )
+    persons = spark.createDataFrame(
+        [("u1", "Arthur Rimbaud", "fr", "A. Rimbaud", "fr", "http://dbpedia.org/resource/R")],
+        "uri string, label string, label_lang string, redirect_label string, "
+        "redirect_lang string, sameas string",
+    )
+    for df in (build_getty_dico(concepts), build_dbpediafr_person_dico(persons)):
+        p = plan(df)
+        exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", p)}
+        assert len(exchange_ids) == 1, f"expected 1 Exchange, got {len(exchange_ids)}\n{p[:1500]}"
+        assert "hashpartitioning(uri" in p
+        assert "partial_" in p
