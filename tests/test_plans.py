@@ -169,3 +169,28 @@ def test_getty_and_dbpediafr_dico_single_exchange(spark):
         assert len(exchange_ids) == 1, f"expected 1 Exchange, got {len(exchange_ids)}\n{p[:1500]}"
         assert "hashpartitioning(uri" in p
         assert "partial_" in p
+
+
+def test_place_and_geonames_dico_single_exchange(spark):
+    """The place builder (language filter, letter shard, sameAs prefix, alt-label
+    union) and the Geonames builder (primary + exploded alternatenames union) are
+    map-local end-to-end except the final dedup: exactly one hash Exchange (the
+    distinct), no merge-by-URI aggregation needed at either source."""
+    import re
+
+    from reden_spark.plans.dico_build import build_place_dico, geonames_to_dico
+
+    places = spark.createDataFrame(
+        [("u1", "Paris", "fr", "Lutèce", "fr", True, 48.85, 2.35, "http://dbpedia.org/resource/P")],
+        "uri string, label string, label_lang string, alt_label string, alt_lang string, "
+        "is_place boolean, lat double, lon double, sameas string",
+    )
+    geonames = spark.createDataFrame(
+        [(2988507, "Paris", "Lutece,Pariggi")],
+        "geonameid int, name string, alternatenames string",
+    )
+    for df in (build_place_dico(places), geonames_to_dico(geonames)):
+        p = plan(df)
+        exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", p)}
+        assert len(exchange_ids) == 1, f"expected 1 Exchange, got {len(exchange_ids)}\n{p[:1500]}"
+        assert "hashpartitioning(" in p
