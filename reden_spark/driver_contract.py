@@ -192,6 +192,12 @@ def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     hit = _STACK_CACHE.get(key)
     if hit is not None:
         return hit
+    # Entries keyed by other applicationIds belong to stopped sessions (their
+    # checkpointed frames are unusable and only retain memory) — drop them so
+    # a process that cycles sessions (the bench harness) doesn't accumulate one
+    # dead stack per (session, sf_dir).
+    for stale in [k for k in _STACK_CACHE if k[0] != key[0]]:
+        del _STACK_CACHE[stale]
     transcripts = derive_transcripts(spark, sf_dir)
     terms = derive_mention_terms(spark, sf_dir)
     dico = derive_dico(spark, sf_dir)
@@ -516,6 +522,8 @@ def _links(spark: SparkSession, sf_dir: str, grouped: bool = False) -> DataFrame
     hit = _LINKS_CACHE.get(key)
     if hit is not None:
         return hit
+    for stale in [k for k in _LINKS_CACHE if k[0] != key[0]]:  # dead sessions
+        del _LINKS_CACHE[stale]
     s = _kg_stack(spark, sf_dir)
     if grouped:
         from .operators.grouped import disambiguate_grouped
@@ -1203,7 +1211,8 @@ O_REL_SIGNIFICANCE = """
 WITH d0 AS (
   SELECT (event_id % 13)::DOUBLE / 2 - (event_id % 11)::DOUBLE / 2 AS d FROM events
 ), t AS (
-  SELECT count(*) AS n, round(avg(d), 9) AS mean_diff, round(stddev_samp(d), 9) AS sd_diff
+  -- count(d) skips null pairs, matching the null-skipping avg/stddev sample
+  SELECT count(d) AS n, round(avg(d), 9) AS mean_diff, round(stddev_samp(d), 9) AS sd_diff
   FROM d0
 ), ranked AS (
   SELECT d, abs(d) AS abs_d, row_number() OVER (ORDER BY abs(d)) AS rn
@@ -1337,7 +1346,9 @@ FROM dico WHERE regexp_matches(alias_norm, '^nation_1[0-9]x$')
 def q_dico_build_places(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Place-source dictionary build (QueryPlaceDBpedia/WikiData semantics:
     language filter, letter shard, type gate, sameAs prefix filter, alt-label
-    aliases, lat/lon typed columns) over a nation-derived place dump."""
+    aliases, lat/lon typed columns) over a nation-derived place dump. The dump
+    is multi-row per URI — every third place arrives as TWO SPARQL result rows
+    (different alt-label/sameAs bindings), exercising the merge-by-URI fold."""
     from .plans.dico_build import build_place_dico
 
     n = _read(spark, sf_dir, "nation")
@@ -1356,7 +1367,18 @@ def q_dico_build_places(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("http://other.kb/P"), ks))
         .alias("sameas"),
     )
-    return build_place_dico(places).select(
+    second = n.filter(k % 3 == 0).select(
+        F.concat(F.lit("http://kb.test/place/"), ks).alias("uri"),
+        F.col("n_name").alias("label"),
+        F.when(k % 5 == 0, "en").otherwise("fr").alias("label_lang"),
+        F.concat(F.lit("Aka "), F.col("n_name")).alias("alt_label"),
+        F.lit("fr").alias("alt_lang"),
+        (k % 7 != 0).alias("is_place"),
+        (k.cast("double") * 1.5).alias("lat"),
+        (k.cast("double") * -0.5).alias("lon"),
+        F.concat(F.lit("http://dbpedia.org/resource/Q"), ks).alias("sameas"),
+    )
+    return build_place_dico(places.unionByName(second)).select(
         "alias", "alias_norm", "name", "letter", "lat", "lon",
         F.concat_ws(" ", "uris").alias("uris_joined"),
     )
@@ -1375,22 +1397,45 @@ WITH places AS (
          CASE WHEN n_nationkey % 3 = 0 THEN 'http://dbpedia.org/resource/P' || CAST(n_nationkey AS VARCHAR)
               ELSE 'http://other.kb/P' || CAST(n_nationkey AS VARCHAR) END AS sameas
   FROM nation
+  UNION ALL
+  SELECT 'http://kb.test/place/' || CAST(n_nationkey AS VARCHAR),
+         n_name,
+         CASE WHEN n_nationkey % 5 = 0 THEN 'en' ELSE 'fr' END,
+         'Aka ' || n_name,
+         'fr',
+         n_nationkey % 7 != 0,
+         CAST(n_nationkey AS DOUBLE) * 1.5,
+         CAST(n_nationkey AS DOUBLE) * -0.5,
+         'http://dbpedia.org/resource/Q' || CAST(n_nationkey AS VARCHAR)
+  FROM nation WHERE n_nationkey % 3 = 0
 ), filtered AS (
+  SELECT * FROM places WHERE is_place AND lower(label_lang) = 'fr'
+), merged AS (
+  -- merge-by-URI: fold alt-label / sameAs bindings of one place into sets,
+  -- mirroring the Spark builder's groupBy('uri') + collect_set
+  SELECT uri,
+         min(label) AS label,
+         min(lat) AS lat,
+         min(lon) AS lon,
+         list_sort(list_distinct(list(CASE WHEN sameas LIKE 'http://dbpedia.org/%' THEN sameas END))) AS sameas_refs,
+         list_sort(list_distinct(list(CASE WHEN lower(alt_lang) = 'fr' THEN alt_label END))) AS alt_labels
+  FROM filtered GROUP BY uri
+), lettered AS (
   SELECT *,
          CASE WHEN regexp_matches(lower(substr(label, 1, 1)), '^[a-z]$')
               THEN lower(substr(label, 1, 1)) ELSE 'other' END AS letter,
-         CASE WHEN sameas LIKE 'http://dbpedia.org/%' THEN uri || ' ' || sameas ELSE uri END AS uris_joined
-  FROM places WHERE is_place AND lower(label_lang) = 'fr'
-), rows_ AS (
-  SELECT label AS alias, label, uris_joined, letter, lat, lon FROM filtered
-  UNION ALL
-  SELECT alt_label, label, uris_joined, letter, lat, lon FROM filtered
-  WHERE alt_label IS NOT NULL AND lower(alt_lang) = 'fr'
+         CASE WHEN len(sameas_refs) > 0 THEN uri || ' ' || array_to_string(sameas_refs, ' ')
+              ELSE uri END AS uris_joined
+  FROM merged
+), exploded AS (
+  SELECT unnest(list_distinct([label] || alt_labels)) AS alias,
+         label, letter, lat, lon, uris_joined
+  FROM lettered
 )
-SELECT DISTINCT alias,
+SELECT alias,
        lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm,
        label AS name, letter, lat, lon, uris_joined
-FROM rows_ WHERE alias != ''
+FROM exploded WHERE alias != ''
 """
 
 

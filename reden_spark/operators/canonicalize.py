@@ -73,10 +73,27 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             converged = True
             break
     if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "labels would be silently wrong — raise max_iter"
+        # Distinguish "iterations exhausted exactly at the fixpoint" (labels
+        # correct — the last round's change check ran before its own update
+        # landed, or max_iter was 0 on an already-labeled graph) from "labels
+        # still moving" before failing loudly.
+        nbr = (
+            adj.join(labels.withColumnRenamed("v", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("new_label"))
+            .withColumnRenamed("a", "v")
         )
+        still_moving = (
+            labels.join(nbr, "v", "left")
+            .filter(F.coalesce("new_label", "label") < F.col("label"))
+            .limit(1)
+            .count()
+        )
+        if still_moving:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds; "
+                "labels would be silently wrong — raise max_iter"
+            )
     return labels.select(F.col("v").alias("uri"), F.col("label").alias("canonical"))
 
 
@@ -99,6 +116,7 @@ def materialize_triples(
     kb_edges: DataFrame,
     dico: DataFrame,
     sameas_pred: str = SAME_AS,
+    broadcast_uri_map: bool = True,
 ) -> DataFrame:
     """LINKS -> output KG (subj, pred, obj):
 
@@ -107,6 +125,13 @@ def materialize_triples(
       * pass-through KB triples of chosen entities, subject and object rewritten
         to their canonical URI; sameAs rows themselves are dropped (they are now
         encoded by the canonical labels).
+
+    `broadcast_uri_map` forces the entity-combination mapping to broadcast
+    (right for dictionaries whose distinct winning URI-combinations fit in an
+    executor — every corpus this repo benchmarks). A deployment whose distinct
+    `chosen_uris` values are themselves huge (10^8-entity KBs) should pass
+    False and let AQE pick broadcast-vs-shuffle from the measured size, the
+    same escape hatch `generate_candidates(broadcast_dico=...)` exposes.
     """
     canon = connected_components(sameas_edge_frame(kb_edges, dico, sameas_pred))
 
@@ -129,7 +154,7 @@ def materialize_triples(
     canon_chosen = (
         links.filter(F.col("chosen_uris") != "")
         .select("conv_id", "turn_idx", "occ_idx", "chosen_uris")
-        .join(F.broadcast(uri_map), "chosen_uris")
+        .join(F.broadcast(uri_map) if broadcast_uri_map else uri_map, "chosen_uris")
         .select("conv_id", "turn_idx", "occ_idx", "entity")
     )
     link_triples = canon_chosen.select(

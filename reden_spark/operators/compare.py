@@ -52,7 +52,9 @@ def paired_t_test(paired: DataFrame) -> DataFrame:
     d = paired.select((F.col("score_a") - F.col("score_b")).alias("d"))
     return (
         d.agg(
-            F.count("*").alias("n"),
+            # count(d), not count(*): avg/stddev skip null pairs, so n must
+            # count the same sample or a null score inflates sqrt(n) in t_stat
+            F.count("d").alias("n"),
             F.round(F.avg("d"), 9).alias("mean_diff"),
             F.round(F.stddev_samp("d"), 9).alias("sd_diff"),
         )

@@ -316,42 +316,61 @@ def build_place_dico(
       * one dico row per alias: the primary label itself (the reference's
         main-page PlaceEntry) + every lang-matching alt label (redirect/altLabel
         PlaceEntry), deduplicated like processResults' contains-checks;
+      * merge-by-URI before emitting aliases: SPARQL endpoints return one result
+        row per OPTIONAL binding (a place with 3 alt labels and 2 sameAs links
+        arrives as up to 6 rows), so alt labels and sameAs targets are folded
+        into per-URI sets first — exactly the contains-dedup the reference's
+        processResults applies across result rows, and the same
+        groupBy('uri') + collect_set shape as the author builders. Without it,
+        each partial row would emit its own `uris` array and one real place
+        would split into several candidate groups downstream;
       * lat/lon carried as typed columns: coordinate extraction happens once at
         build time instead of the per-URI enrichment re-crawl
         (GeodataGeneration.java:32-72).
     """
     p = places.filter(F.col("is_place")).filter(F.lower(F.col("label_lang")) == lang.lower())
-    letter = F.lower(F.substring(F.col("label"), 1, 1))
-    p = p.withColumn("letter", F.when(letter.rlike("^[a-z]$"), letter).otherwise(F.lit("other")))
-    if letters is not None:
-        p = p.filter(F.col("letter").isin(letters))
 
     clean_sameas = (
         F.when(F.col("sameas").startswith(sameas_prefix), F.col("sameas"))
         if sameas_prefix is not None
         else F.col("sameas")
     )
-    p = p.withColumn("uris", F.filter(F.array(F.col("uri"), clean_sameas), lambda x: x.isNotNull()))
-
-    main = p.select(F.col("label").alias("alias"), "label", "uris", "letter", "lat", "lon")
-    alt = (
-        p.filter(F.col("alt_label").isNotNull() & (F.lower(F.col("alt_lang")) == lang.lower()))
-        .select(F.col("alt_label").alias("alias"), "label", "uris", "letter", "lat", "lon")
+    alt_ok = F.when(F.lower(F.col("alt_lang")) == lang.lower(), F.col("alt_label"))
+    merged = p.groupBy("uri").agg(
+        F.min("label").alias("label"),
+        F.min("lat").alias("lat"),
+        F.min("lon").alias("lon"),
+        F.array_sort(F.collect_set(clean_sameas)).alias("sameas_refs"),
+        F.array_sort(F.collect_set(alt_ok)).alias("alt_labels"),
     )
+    letter = F.lower(F.substring(F.col("label"), 1, 1))
+    merged = merged.withColumn(
+        "letter", F.when(letter.rlike("^[a-z]$"), letter).otherwise(F.lit("other"))
+    )
+    if letters is not None:
+        merged = merged.filter(F.col("letter").isin(letters))
+
     return (
-        main.unionByName(alt)
+        merged.withColumn("uris", F.concat(F.array("uri"), "sameas_refs"))
+        .select(
+            F.explode(F.array_union(F.array("label"), "alt_labels")).alias("alias"),
+            F.col("label").alias("name"),
+            "uris",
+            "letter",
+            "lat",
+            "lon",
+        )
         .filter(F.col("alias") != "")
         .select(
             "alias",
             normalize_mention("alias").alias("alias_norm"),
-            F.col("label").alias("name"),
+            "name",
             F.lit("LOC").alias("ne_type"),
             "uris",
             "letter",
             "lat",
             "lon",
         )
-        .distinct()
     )
 
 

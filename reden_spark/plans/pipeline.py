@@ -89,6 +89,7 @@ def run_pipeline(
     tfiles = sorted(Path(data).glob("transcripts.parquet/*.parquet")) or [
         data / "transcripts.parquet"
     ]
+    prev_split = None
     try:
         import pyarrow.parquet as pq
 
@@ -97,51 +98,62 @@ def run_pipeline(
             pq.ParquetFile(str(f)).metadata.num_row_groups for f in tfiles if f.is_file()
         )
         split = max(1 << 20, min(128 << 20, total_bytes // min_parallelism or 1))
+        prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     except Exception:
         n_row_groups = 0
-    transcripts = src("transcripts")
-    if n_row_groups < min_parallelism and transcripts.rdd.getNumPartitions() < min_parallelism:
-        transcripts = transcripts.repartition(min_parallelism)
-    terms = src("mention_terms")
-    dico = src("dico")
-    kb_edges = src("kb_edges")
-    rel_weights = src("rel_weights")
+    # The override stays in force for the whole pipeline run — the stage
+    # checkpoints it sizes are written at the same data scale as transcripts —
+    # and is restored on exit so reads on the shared session afterward
+    # (arbitrarily larger or smaller tables) plan splits from their own default.
+    try:
+        transcripts = src("transcripts")
+        if n_row_groups < min_parallelism and transcripts.rdd.getNumPartitions() < min_parallelism:
+            transcripts = transcripts.repartition(min_parallelism)
+        terms = src("mention_terms")
+        dico = src("dico")
+        kb_edges = src("kb_edges")
+        rel_weights = src("rel_weights")
 
-    # Intermediate checkpoints are unbucketed: a plain parquet read cannot
-    # reuse bucket layout for shuffle elision anyway (that needs the table
-    # format / metastore, i.e. the Iceberg deployment), so a per-stage bucket
-    # repartition would buy nothing but an extra full shuffle. Lineage counters
-    # fall back to per-file. The final triples table stays bucketed — it is the
-    # queryable product (north rule: partitioned output), not a resume point.
-    mentions = stage("mentions", lambda: detect_mentions(transcripts, terms), None)
-    candidates = stage("candidates", lambda: generate_candidates(mentions, dico), None)
+        # Intermediate checkpoints are unbucketed: a plain parquet read cannot
+        # reuse bucket layout for shuffle elision anyway (that needs the table
+        # format / metastore, i.e. the Iceberg deployment), so a per-stage bucket
+        # repartition would buy nothing but an extra full shuffle. Lineage counters
+        # fall back to per-file. The final triples table stays bucketed — it is the
+        # queryable product (north rule: partitioned output), not a resume point.
+        mentions = stage("mentions", lambda: detect_mentions(transcripts, terms), None)
+        candidates = stage("candidates", lambda: generate_candidates(mentions, dico), None)
 
-    def compute_links() -> DataFrame:
-        cases = conversation_cases(mentions, candidates)
-        if use_grouped:
-            from ..operators.grouped import disambiguate_grouped
+        def compute_links() -> DataFrame:
+            cases = conversation_cases(mentions, candidates)
+            if use_grouped:
+                from ..operators.grouped import disambiguate_grouped
 
-            return disambiguate_grouped(mentions, candidates, kb_edges, rel_weights, cases, cfg)
-        return disambiguate(mentions, candidates, kb_edges, rel_weights, cases, cfg)
+                return disambiguate_grouped(mentions, candidates, kb_edges, rel_weights, cases, cfg)
+            return disambiguate(mentions, candidates, kb_edges, rel_weights, cases, cfg)
 
-    links = stage("links", compute_links, None)
-    triples = stage("triples", lambda: materialize_triples(links, kb_edges, dico, cfg.sameas_pred), "subj")
+        links = stage("links", compute_links, None)
+        triples = stage(
+            "triples", lambda: materialize_triples(links, kb_edges, dico, cfg.sameas_pred), "subj"
+        )
 
-    result = {
-        "mentions": mentions,
-        "candidates": candidates,
-        "links": links,
-        "triples": triples,
-    }
+        result = {
+            "mentions": mentions,
+            "candidates": candidates,
+            "links": links,
+            "triples": triples,
+        }
 
-    gold_path = data / "gold_links.parquet"
-    if gold_path.exists():
-        def compute_metrics() -> DataFrame:
-            records = eval_records(spark.read.parquet(str(gold_path)), links, candidates)
-            return hachey_metrics(records)
+        gold_path = data / "gold_links.parquet"
+        if gold_path.exists():
+            def compute_metrics() -> DataFrame:
+                records = eval_records(spark.read.parquet(str(gold_path)), links, candidates)
+                return hachey_metrics(records)
 
-        result["metrics"] = stage("metrics", compute_metrics, None)
+            result["metrics"] = stage("metrics", compute_metrics, None)
+    finally:
+        if prev_split is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
     if timings:
         (out / "_timings.json").write_text(json.dumps(timings))

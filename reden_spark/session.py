@@ -55,14 +55,11 @@ def _scratch_dir() -> str:
     if env:
         return env
     if os.path.isdir("/dev/shm"):
-        try:
-            st = os.statvfs("/dev/shm")
-            free_gb = st.f_bavail * st.f_frsize / 2**30
-        except OSError:
-            free_gb = 0.0
-        if free_gb >= 16:
-            base = "/dev/shm/spark_scratch"
-            os.makedirs(base, exist_ok=True)
+        # Reap dead-pid siblings BEFORE the headroom check: a kill -9'd session
+        # never runs its atexit cleanup, and its leftover gigabytes are exactly
+        # what would otherwise push free space under the threshold forever.
+        base = "/dev/shm/spark_scratch"
+        if os.path.isdir(base):
             for name in os.listdir(base):
                 if name.startswith("pid-"):
                     try:
@@ -71,6 +68,13 @@ def _scratch_dir() -> str:
                         continue
                     if pid != os.getpid() and not _pid_alive(pid):
                         shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        try:
+            st = os.statvfs("/dev/shm")
+            free_gb = st.f_bavail * st.f_frsize / 2**30
+        except OSError:
+            free_gb = 0.0
+        if free_gb >= 16:
+            os.makedirs(base, exist_ok=True)
             d = os.path.join(base, f"pid-{os.getpid()}")
             os.makedirs(d, exist_ok=True)
             atexit.register(shutil.rmtree, d, ignore_errors=True)

@@ -151,3 +151,35 @@ def test_dico_tsv_roundtrip(spark, tables, tmp_path):
     a = {(r.alias, r.name, tuple(r.uris)) for r in dico.collect()}
     b = {(r.alias, r.name, tuple(r.uris)) for r in back.collect()}
     assert a == b
+
+
+def test_build_place_dico_merges_multi_row_dumps(spark):
+    """A place arriving as several SPARQL result rows (one per OPTIONAL
+    alt-label / sameAs binding) folds into per-URI sets: every alias row of the
+    place carries the FULL uris array (uri first, sameAs targets sorted), and
+    the alias set is the union across bindings — not one partial row each."""
+    from reden_spark.plans.dico_build import build_place_dico
+
+    schema = (
+        "uri string, label string, label_lang string, alt_label string, alt_lang string, "
+        "is_place boolean, lat double, lon double, sameas string"
+    )
+    rows = [
+        ("u1", "Paris", "fr", None, None, True, 48.85, 2.35, "http://dbpedia.org/resource/Paris"),
+        ("u1", "Paris", "fr", "Lutèce", "fr", True, 48.85, 2.35, "http://other.kb/P1"),
+        ("u1", "Paris", "fr", "Paname", "fr", True, 48.85, 2.35, "http://dbpedia.org/resource/VL"),
+        ("u1", "Paris", "fr", "City of Light", "en", True, 48.85, 2.35, None),
+        ("u2", "Lyon", "fr", None, None, True, 45.76, 4.83, None),
+    ]
+    out = build_place_dico(spark.createDataFrame(rows, schema)).collect()
+
+    paris = [r for r in out if "u1" in r.uris]
+    assert sorted(r.alias for r in paris) == ["Lutèce", "Paname", "Paris"]
+    # every Paris alias row carries the complete merged uris array
+    assert {tuple(r.uris) for r in paris} == {
+        ("u1", "http://dbpedia.org/resource/Paris", "http://dbpedia.org/resource/VL")
+    }
+    assert all(r.name == "Paris" and r.letter == "p" and r.lat == 48.85 for r in paris)
+
+    lyon = [r for r in out if "u2" in r.uris]
+    assert len(lyon) == 1 and lyon[0].alias == "Lyon" and list(lyon[0].uris) == ["u2"]

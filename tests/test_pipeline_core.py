@@ -136,6 +136,18 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(edges, max_iter=1)
 
 
+def test_connected_components_fixpoint_at_iteration_budget(spark):
+    """Iteration budget exhausted exactly at the fixpoint (max_iter=0 on a graph
+    whose initial min-neighbor labels are already final) returns correct labels
+    instead of raising — the guard distinguishes 'budget exhausted' from
+    'labels still moving'."""
+    from reden_spark.operators.canonicalize import connected_components
+
+    edges = spark.createDataFrame([("u1", "u2")], "a string, b string")
+    got = {r.uri: r.canonical for r in connected_components(edges, max_iter=0).collect()}
+    assert got == {"u1": "u1", "u2": "u1"}
+
+
 def test_per_turn_text_equality_invariant(spark, tables, fixture_dir):
     """North-rule invariant: per-turn text equality under stable (conv_id, turn_idx)
     ordering between the source table and what the pipeline reads."""

@@ -172,10 +172,11 @@ def test_getty_and_dbpediafr_dico_single_exchange(spark):
 
 
 def test_place_and_geonames_dico_single_exchange(spark):
-    """The place builder (language filter, letter shard, sameAs prefix, alt-label
-    union) and the Geonames builder (primary + exploded alternatenames union) are
-    map-local end-to-end except the final dedup: exactly one hash Exchange (the
-    distinct), no merge-by-URI aggregation needed at either source."""
+    """The place builder keeps the author-builder shape — one hash Exchange on
+    uri (merge-by-URI with map-side partial collect_sets); language filter,
+    letter shard, sameAs prefix and alias explode all stay map-local. The
+    Geonames builder (primary + exploded alternatenames union) shuffles once
+    for its final distinct."""
     import re
 
     from reden_spark.plans.dico_build import build_place_dico, geonames_to_dico
@@ -189,8 +190,13 @@ def test_place_and_geonames_dico_single_exchange(spark):
         [(2988507, "Paris", "Lutece,Pariggi")],
         "geonameid int, name string, alternatenames string",
     )
-    for df in (build_place_dico(places), geonames_to_dico(geonames)):
-        p = plan(df)
-        exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", p)}
-        assert len(exchange_ids) == 1, f"expected 1 Exchange, got {len(exchange_ids)}\n{p[:1500]}"
-        assert "hashpartitioning(" in p
+    pp = plan(build_place_dico(places))
+    exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", pp)}
+    assert len(exchange_ids) == 1, f"expected 1 Exchange, got {len(exchange_ids)}\n{pp[:1500]}"
+    assert "hashpartitioning(uri" in pp
+    assert "partial_" in pp  # map-side partial collect_sets before the shuffle
+
+    gp = plan(geonames_to_dico(geonames))
+    exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", gp)}
+    assert len(exchange_ids) == 1, f"expected 1 Exchange, got {len(exchange_ids)}\n{gp[:1500]}"
+    assert "hashpartitioning(" in gp
