@@ -178,6 +178,13 @@ def empty_rel_weights(spark: SparkSession) -> DataFrame:
 _STACK_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
+def _evict_stale(cache: dict, app_id: str) -> None:
+    """Drop cache entries keyed by other applicationIds: they belong to stopped
+    sessions whose checkpointed frames are unusable and only retain memory."""
+    for stale in [k for k in cache if k[0] != app_id]:
+        del cache[stale]
+
+
 def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Derive the KG input stack once per (application, sf_dir).
 
@@ -192,12 +199,7 @@ def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     hit = _STACK_CACHE.get(key)
     if hit is not None:
         return hit
-    # Entries keyed by other applicationIds belong to stopped sessions (their
-    # checkpointed frames are unusable and only retain memory) — drop them so
-    # a process that cycles sessions (the bench harness) doesn't accumulate one
-    # dead stack per (session, sf_dir).
-    for stale in [k for k in _STACK_CACHE if k[0] != key[0]]:
-        del _STACK_CACHE[stale]
+    _evict_stale(_STACK_CACHE, key[0])
     transcripts = derive_transcripts(spark, sf_dir)
     terms = derive_mention_terms(spark, sf_dir)
     dico = derive_dico(spark, sf_dir)
@@ -522,8 +524,7 @@ def _links(spark: SparkSession, sf_dir: str, grouped: bool = False) -> DataFrame
     hit = _LINKS_CACHE.get(key)
     if hit is not None:
         return hit
-    for stale in [k for k in _LINKS_CACHE if k[0] != key[0]]:  # dead sessions
-        del _LINKS_CACHE[stale]
+    _evict_stale(_LINKS_CACHE, key[0])
     s = _kg_stack(spark, sf_dir)
     if grouped:
         from .operators.grouped import disambiguate_grouped
@@ -1412,16 +1413,15 @@ WITH places AS (
   SELECT * FROM places WHERE is_place AND lower(label_lang) = 'fr'
 ), merged AS (
   -- merge-by-URI: fold alt-label / sameAs bindings of one place into sets,
-  -- mirroring the Spark builder's groupBy('uri') + collect_set
+  -- mirroring the Spark builder's groupBy('uri') + collect_set; the
+  -- representative (label, lat, lon) is one struct-min = a coherent binding row
   SELECT uri,
-         min(label) AS label,
-         min(lat) AS lat,
-         min(lon) AS lon,
+         min({'label': label, 'lat': lat, 'lon': lon}) AS rep,
          list_sort(list_distinct(list(CASE WHEN sameas LIKE 'http://dbpedia.org/%' THEN sameas END))) AS sameas_refs,
          list_sort(list_distinct(list(CASE WHEN lower(alt_lang) = 'fr' THEN alt_label END))) AS alt_labels
   FROM filtered GROUP BY uri
 ), lettered AS (
-  SELECT *,
+  SELECT uri, rep.label AS label, rep.lat AS lat, rep.lon AS lon, sameas_refs, alt_labels,
          CASE WHEN regexp_matches(lower(substr(label, 1, 1)), '^[a-z]$')
               THEN lower(substr(label, 1, 1)) ELSE 'other' END AS letter,
          CASE WHEN len(sameas_refs) > 0 THEN uri || ' ' || array_to_string(sameas_refs, ' ')

@@ -329,6 +329,13 @@ def build_place_dico(
         (GeodataGeneration.java:32-72).
     """
     p = places.filter(F.col("is_place")).filter(F.lower(F.col("label_lang")) == lang.lower())
+    if letters is not None:
+        # shard prune MAP-SIDE, before the merge shuffle (rows of one uri share
+        # a label, hence a letter): the reference's 27-shard a-z+'other' build
+        # must not shuffle the whole dump once per shard
+        row_letter = F.lower(F.substring(F.col("label"), 1, 1))
+        row_letter = F.when(row_letter.rlike("^[a-z]$"), row_letter).otherwise(F.lit("other"))
+        p = p.filter(row_letter.isin(letters))
 
     clean_sameas = (
         F.when(F.col("sameas").startswith(sameas_prefix), F.col("sameas"))
@@ -336,19 +343,25 @@ def build_place_dico(
         else F.col("sameas")
     )
     alt_ok = F.when(F.lower(F.col("alt_lang")) == lang.lower(), F.col("alt_label"))
+    # representative (label, lat, lon) is one struct-min — a COHERENT binding
+    # row, never min(label) of one row paired with min(lat) of another (a
+    # place with two coordinate bindings must not emit a point from neither)
     merged = p.groupBy("uri").agg(
-        F.min("label").alias("label"),
-        F.min("lat").alias("lat"),
-        F.min("lon").alias("lon"),
+        F.min(F.struct("label", "lat", "lon")).alias("rep"),
         F.array_sort(F.collect_set(clean_sameas)).alias("sameas_refs"),
         F.array_sort(F.collect_set(alt_ok)).alias("alt_labels"),
+    ).select(
+        "uri",
+        F.col("rep.label").alias("label"),
+        F.col("rep.lat").alias("lat"),
+        F.col("rep.lon").alias("lon"),
+        "sameas_refs",
+        "alt_labels",
     )
     letter = F.lower(F.substring(F.col("label"), 1, 1))
     merged = merged.withColumn(
         "letter", F.when(letter.rlike("^[a-z]$"), letter).otherwise(F.lit("other"))
     )
-    if letters is not None:
-        merged = merged.filter(F.col("letter").isin(letters))
 
     return (
         merged.withColumn("uris", F.concat(F.array("uri"), "sameas_refs"))

@@ -90,6 +90,7 @@ def run_pipeline(
         data / "transcripts.parquet"
     ]
     prev_split = None
+    split_overridden = False
     try:
         import pyarrow.parquet as pq
 
@@ -100,6 +101,7 @@ def run_pipeline(
         split = max(1 << 20, min(128 << 20, total_bytes // min_parallelism or 1))
         prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        split_overridden = True
     except Exception:
         n_row_groups = 0
     # The override stays in force for the whole pipeline run — the stage
@@ -134,7 +136,11 @@ def run_pipeline(
 
         links = stage("links", compute_links, None)
         triples = stage(
-            "triples", lambda: materialize_triples(links, kb_edges, dico, cfg.sameas_pred), "subj"
+            "triples",
+            lambda: materialize_triples(
+                links, kb_edges, dico, cfg.sameas_pred, broadcast_uri_map=cfg.broadcast_uri_map
+            ),
+            "subj",
         )
 
         result = {
@@ -152,8 +158,13 @@ def run_pipeline(
 
             result["metrics"] = stage("metrics", compute_metrics, None)
     finally:
-        if prev_split is not None:
-            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        # restore even when the session had no explicit prior value (conf.get
+        # with a fallback bypasses the registered SQL default) — unset then
+        if split_overridden:
+            if prev_split is not None:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+            else:
+                spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     if timings:
         (out / "_timings.json").write_text(json.dumps(timings))
@@ -192,6 +203,12 @@ def main() -> None:
         default="ALL",
         help="restrict sameAs expansion to objects with this prefix (GraphHandlerNEL.java:143-167)",
     )
+    ap.add_argument(
+        "--no-broadcast-uri-map",
+        action="store_true",
+        help="let AQE size the triple-canonicalization join instead of forcing a broadcast "
+        "(for KBs whose distinct chosen-URI combinations outgrow an executor)",
+    )
     a = ap.parse_args()
 
     spark = get_spark("reden-pipeline", master=a.master or os.environ.get("SPARK_MASTER"))
@@ -200,6 +217,7 @@ def main() -> None:
         preferred_uri=a.preferred_uri,
         centrality=a.centrality,
         crawl_sameas=a.crawl_sameas,
+        broadcast_uri_map=not a.no_broadcast_uri_map,
     )
     t0 = time.time()
     dfs = run_pipeline(spark, a.data_dir, a.out_dir, cfg, a.from_stage, a.grouped)

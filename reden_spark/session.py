@@ -42,6 +42,24 @@ def _pid_alive(pid: int) -> bool:
         return True
 
 
+def _owns_scratch(pid: int) -> bool:
+    """True iff `pid` is alive AND plausibly a Spark-bearing process. Guards the
+    reaper against pid reuse: a recycled pid (or another user's process, where
+    the liveness probe returns True on PermissionError) must not pin a dead
+    session's scratch gigabytes under tmpfs forever."""
+    if not _pid_alive(pid):
+        return False
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as fh:
+            cmd = fh.read().lower()
+        return b"python" in cmd or b"java" in cmd or b"spark" in cmd
+    except OSError:
+        # cmdline unreadable (exited mid-check, or foreign uid on a multi-user
+        # host) — keep the directory; a stale dir costs space, a reaped live
+        # one costs a running job
+        return True
+
+
 def _scratch_dir() -> str:
     """Per-process shuffle/spill scratch, preferring tmpfs when it has headroom.
 
@@ -66,7 +84,7 @@ def _scratch_dir() -> str:
                         pid = int(name[4:])
                     except ValueError:
                         continue
-                    if pid != os.getpid() and not _pid_alive(pid):
+                    if pid != os.getpid() and not _owns_scratch(pid):
                         shutil.rmtree(os.path.join(base, name), ignore_errors=True)
         try:
             st = os.statvfs("/dev/shm")

@@ -196,6 +196,18 @@ def test_place_and_geonames_dico_single_exchange(spark):
     assert "hashpartitioning(uri" in pp
     assert "partial_" in pp  # map-side partial collect_sets before the shuffle
 
+    # letter-sharded build: the shard predicate prunes MAP-SIDE (the reference's
+    # 27-shard a-z+'other' workflow must not shuffle the whole dump per shard).
+    # Formatted-explain ids are assigned leaf-first, so every Filter (type gate,
+    # language, letter shard) must sit below the single merge Exchange.
+    sp = plan(build_place_dico(places, letters=["p"]))
+    ex = min(int(m.group(1)) for m in re.finditer(r"\((\d+)\) Exchange", sp))
+    shard_filters = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Filter\nInput[^\n]*\nCondition : [^\n]*RLIKE", sp)
+    ]
+    assert shard_filters and all(f < ex for f in shard_filters), sp[:1500]
+
     gp = plan(geonames_to_dico(geonames))
     exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", gp)}
     assert len(exchange_ids) == 1, f"expected 1 Exchange, got {len(exchange_ids)}\n{gp[:1500]}"
