@@ -136,6 +136,46 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(edges, max_iter=1)
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check: on seeded random graphs (sparse chains, dense clumps,
+    self-loops, duplicate and reversed edges) the distributed min-label +
+    pointer-jumping labeling equals a plain union-find's component minimum."""
+    import random
+
+    from reden_spark.operators.canonicalize import connected_components
+
+    rng = random.Random(42)
+    for trial, (n, m) in enumerate([(30, 12), (40, 55), (25, 25), (60, 30)]):
+        verts = [f"w{trial}_{i:02d}" for i in range(n)]
+        edges = [(rng.choice(verts), rng.choice(verts)) for _ in range(m)]
+
+        parent = {v: v for v in verts}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        want = {}
+        comp_min: dict = {}
+        for v in sorted(touched):
+            comp_min.setdefault(find(v), v)
+        for v in touched:
+            want[v] = comp_min[find(v)]
+
+        got = {
+            r.uri: r.canonical
+            for r in connected_components(
+                spark.createDataFrame(edges, "a string, b string")
+            ).collect()
+        }
+        assert got == want, f"trial {trial}: {sorted(set(got.items()) ^ set(want.items()))[:6]}"
+
+
 def test_connected_components_fixpoint_at_iteration_budget(spark):
     """Iteration budget exhausted exactly at the fixpoint (max_iter=0 on a graph
     whose initial min-neighbor labels are already final) returns correct labels
