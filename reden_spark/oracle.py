@@ -22,6 +22,12 @@ defined under these rules):
      overwrites per tag order, TODO at MainNELApp.java:255-257).
   D6 winner->group matching compares decomposed forms (reference compares a
      decomposed winner against raw group members, CentralityHandler.java:193).
+  D7 a shared equivalent URI folds its edges onto EVERY base candidate that
+     lists it (reference: the cross-group alreadyProcessedURI gate,
+     GraphHandlerNEL.java:124,146-182, attributes it to whichever group the
+     unspecified mention iteration order loads first — order-dependent and
+     irreproducible in a parallel engine; the Spark pipeline folds to all,
+     and the oracle matches it).
 """
 
 from __future__ import annotations
@@ -62,22 +68,31 @@ class KB:
 
 
 def build_dico_map(dico_rows: list[dict]) -> dict[str, list[Group]]:
-    """alias -> ordered deduped candidate groups (D1, D5).
+    """normalized alias -> ordered deduped candidate groups (D1, D5).
 
     Mirrors DicoProcessingNEL.retrieveMentionsURIsFromDicoWithIndex
     (DicoProcessingNEL.java:144-183): per-alias list of URI groups, identical
-    groups deduplicated.
+    groups deduplicated. Keyed on replaceNonAlphabeticCharacters(alias)
+    (:91-93,151) — the same normalized form the Spark join uses (alias_norm) —
+    so raw aliases that normalize identically ('Jean-Paul X' / 'Jean Paul X')
+    contribute to ONE lookup entry, exactly like the alias_norm equi-join.
     """
+    from .functions.text import normalize_mention_py
+
     acc: dict[str, set[Group]] = defaultdict(set)
     for r in dico_rows:
-        acc[r["alias"]].add(tuple(r["uris"]))
+        acc[normalize_mention_py(r["alias"])].add(tuple(r["uris"]))
     return {a: sorted(gs) for a, gs in acc.items()}
 
 
 def candidates_for_mentions(mentions: list[str], dico_map: dict[str, list[Group]]) -> dict[str, list[Group]]:
+    """Lookup on the normalized mention (DicoProcessingNEL.java:91-93); keys of
+    the returned dict stay the raw surface forms."""
+    from .functions.text import normalize_mention_py
+
     out: dict[str, list[Group]] = {}
     for m in mentions:
-        groups = dico_map.get(m)
+        groups = dico_map.get(normalize_mention_py(m))
         if groups:
             out[m] = list(groups)
     return out
@@ -536,9 +551,6 @@ def links_to_triples(
         triples.add((subj, LINKS_TO, canonical))
         chosen_entities.add(canonical)
 
-    members: dict[str, set[str]] = defaultdict(set)
-    for uri, root in canon.items():
-        members[root].add(uri)
     for subj, pred, obj in kb_rows:
         if pred == SAME_AS:
             continue

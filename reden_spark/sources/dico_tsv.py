@@ -15,9 +15,18 @@ from ..functions.text import normalize_mention
 
 
 def write_dico_tsv(dico: DataFrame, path: str) -> None:
-    """DICO frame -> reference-format TSV shard(s)."""
+    """DICO frame -> reference-format TSV shard(s).
+
+    The format has no null escape and concat_ws silently SKIPS nulls — a null
+    name would shift every URI one column left on read-back — so alias/name are
+    pinned to '' explicitly (read_dico_tsv restores '' name to null)."""
     lines = dico.select(
-        F.concat_ws("\t", F.col("alias"), F.col("name"), F.concat_ws("\t", F.col("uris"))).alias("value")
+        F.concat_ws(
+            "\t",
+            F.coalesce(F.col("alias"), F.lit("")),
+            F.coalesce(F.col("name"), F.lit("")),
+            F.concat_ws("\t", F.col("uris")),
+        ).alias("value")
     )
     lines.write.mode("overwrite").text(path)
 
@@ -30,7 +39,11 @@ def read_dico_tsv(spark: SparkSession, path: str, ne_type: str | None = None) ->
     return parts.select(
         F.col("p")[0].alias("alias"),
         normalize_mention(F.col("p")[0]).alias("alias_norm"),
-        F.col("p")[1].alias("name"),
+        F.nullif(F.col("p")[1], F.lit("")).alias("name"),
         F.lit(ne_type).alias("ne_type"),
-        F.slice("p", 3, F.greatest(F.size("p") - 2, F.lit(0))).alias("uris"),
+        # split() keeps trailing empties: a row written with uris=[] yields a
+        # phantom [''] slice — filter empty tokens BEFORE the size gate
+        F.filter(
+            F.slice("p", 3, F.greatest(F.size("p") - 2, F.lit(0))), lambda u: u != ""
+        ).alias("uris"),
     ).filter(F.size("uris") > 0)

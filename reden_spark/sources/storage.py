@@ -7,14 +7,17 @@ stage. The reference's analogue is its skip-if-file-exists shard memoization
 (GraphHandlerNEL.java:351-384) — done properly here: an atomic manifest written
 AFTER the data makes a half-written stage invisible to resume.
 
-Storage backend: Iceberg hadoop-catalog when the runtime jar is on the
-classpath, else plain parquet with the same layout (SURVEY.md §7 hazard 7).
-Both go through this module so callers never branch.
+Storage backend: plain parquet checkpoints whose layout (hive `bucket=N`
+partitions, JSON manifest with schema + per-partition lineage) is the
+snapshot/metadata subset an Iceberg hadoop-catalog deployment would provide
+natively (SURVEY.md §7 hazard 7); all reads/writes go through this module so a
+deployment can swap the backend in one place.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -22,14 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "_reden_manifest.json"
-
-
-def iceberg_available(spark: SparkSession) -> bool:
-    try:
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")  # noqa: SLF001
-        return True
-    except Exception:
-        return False
 
 
 def _lineage_from_footers(out: Path) -> list[dict]:
@@ -65,6 +60,10 @@ def write_stage(
     writer_df = df
     partition_by = None
     if bucket_col is not None:
+        if "bucket" in df.columns:
+            raise ValueError(
+                f"stage '{name}': bucketed write would clobber an existing 'bucket' column"
+            )
         writer_df = df.withColumn("bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int"))
         # co-locate each bucket into one task before the hive-partitioned write:
         # one file per bucket dir instead of (tasks x buckets) small files
@@ -85,8 +84,13 @@ def write_stage(
         "lineage": lineage,
         "written_at": time.time(),
         "format": "parquet",
+        "bucketed": bucket_col is not None,
     }
-    (out / MANIFEST).write_text(json.dumps(manifest))
+    # atomic: a crash mid-write must not leave a parseable-looking manifest
+    # that stage_exists() would treat as a complete checkpoint forever
+    tmp = out / (MANIFEST + ".tmp")
+    tmp.write_text(json.dumps(manifest))
+    os.replace(tmp, out / MANIFEST)
     return manifest
 
 
@@ -96,7 +100,16 @@ def stage_exists(out_dir: str | Path, name: str) -> bool:
 
 def read_stage(spark: SparkSession, out_dir: str | Path, name: str) -> DataFrame:
     df = spark.read.parquet(str(Path(out_dir) / name))
-    return df.drop("bucket") if "bucket" in df.columns else df
+    # drop the synthetic partition column only when THIS module added it —
+    # a stage whose data legitimately contains a 'bucket' column keeps it
+    if "bucket" in df.columns:
+        try:
+            bucketed = bool(read_manifest(out_dir, name).get("bucketed"))
+        except (OSError, json.JSONDecodeError):
+            bucketed = True  # pre-flag manifests: only bucketed stages had the column
+        if bucketed:
+            df = df.drop("bucket")
+    return df
 
 
 def read_manifest(out_dir: str | Path, name: str) -> dict:

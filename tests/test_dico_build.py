@@ -183,3 +183,24 @@ def test_build_place_dico_merges_multi_row_dumps(spark):
 
     lyon = [r for r in out if "u2" in r.uris]
     assert len(lyon) == 1 and lyon[0].alias == "Lyon" and list(lyon[0].uris) == ["u2"]
+
+
+def test_dico_tsv_null_and_empty_robustness(spark, tmp_path):
+    """TSV sink/source edge cases: a null display name must not shift the URI
+    columns left (concat_ws skips nulls), and an empty uris array must not
+    round-trip as a phantom [''] group."""
+    d = spark.createDataFrame(
+        [
+            ("Hugo", None, ["http://a", "http://b"]),
+            ("Solo", "Name (x)", ["http://c"]),
+            ("Ghost", "G", []),
+        ],
+        "alias string, name string, uris array<string>",
+    )
+    path = str(tmp_path / "tsv")
+    write_dico_tsv(d, path)
+    back = {r.alias: r for r in read_dico_tsv(spark, path, ne_type="PER").collect()}
+    assert set(back) == {"Hugo", "Solo"}  # empty-uris row dropped, not phantom
+    assert back["Hugo"].name is None
+    assert list(back["Hugo"].uris) == ["http://a", "http://b"]  # no left shift
+    assert list(back["Solo"].uris) == ["http://c"]

@@ -109,6 +109,64 @@ def test_gazetteer_scales_to_100k_terms(spark, tables):
     assert got == base and len(got) > 50
 
 
+def test_normalization_collision_parity(spark):
+    """Two raw dico aliases that normalize identically ('Jean-Paul X' /
+    'Jean Paul X') but carry different URI groups must yield the SAME links from
+    the Spark pipeline and the oracle: both key the candidate lookup on the
+    normalized form (DicoProcessingNEL.replaceNonAlphabeticCharacters :91-93),
+    so the one detected surface form matches BOTH groups (ambiguous -> graph
+    path), and the KB edge decides the winner."""
+    from reden_spark.functions.text import normalize_mention_py
+
+    B = datagen.BASE_PREFIX
+    transcripts = [
+        {"conv_id": "c0", "turn_idx": 0, "text": "Jean-Paul X met Marie Z today."},
+        {"conv_id": "c0", "turn_idx": 1, "text": "Later Marie Z spoke."},
+    ]
+    dico_rows = [
+        {"alias": "Jean-Paul X", "uris": [f"{B}/p/1", "http://ext.kb/e1"]},
+        {"alias": "Jean Paul X", "uris": [f"{B}/p/2"]},
+        {"alias": "Marie Z", "uris": [f"{B}/p/3"]},
+    ]
+    terms = ["Jean-Paul X", "Marie Z"]
+    # context edge probed via the external alias (GraphHandlerNEL case 2:
+    # edges fold onto the base vertex p/1, which should win the argmax)
+    kb_rows = [("http://ext.kb/e1", "http://kb.test/rel/knows", f"{B}/p/3")]
+
+    t = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts],
+        "conv_id string, turn_idx int, text string",
+    )
+    terms_df = spark.createDataFrame([(x,) for x in terms], "term string")
+    d = spark.createDataFrame(
+        [(r["alias"], normalize_mention_py(r["alias"]), r["uris"]) for r in dico_rows],
+        "alias string, alias_norm string, uris array<string>",
+    )
+    kb = spark.createDataFrame(kb_rows, "subj string, pred string, obj string")
+    rels = spark.createDataFrame([], "pred string, weight double")
+
+    mentions = detect_mentions(t, terms_df)
+    candidates = generate_candidates(mentions, d)
+    assert candidates.filter("mention = 'Jean-Paul X'").count() == 2  # both groups
+    cases = conversation_cases(mentions, candidates)
+    links = disambiguate(mentions, candidates, kb, rels, cases, CFG)
+    got = {
+        (r.conv_id, r.turn_idx, r.occ_idx, r.mention): (r.chosen_uris, r.path)
+        for r in links.collect()
+    }
+
+    want_rows = oracle.run_oracle(
+        transcripts, dico_rows, terms, kb_rows, [], datagen.BASE_PREFIX, datagen.BASE_PREFIX
+    )
+    want = {
+        (l["conv_id"], l["turn_idx"], l["occ_idx"], l["mention"]): (l["chosen_uris"], l["path"])
+        for l in want_rows
+    }
+    assert got and got == want
+    # preferred-URI projection keeps only base-prefix members of the winning group
+    assert got[("c0", 0, 0, "Jean-Paul X")] == (f"{B}/p/1", "graph")
+
+
 def test_connected_components_long_chain(spark):
     """A 120-hop sameAs chain must converge well inside max_iter thanks to
     pointer jumping (plain neighbor-min propagation needs O(diameter)=120
