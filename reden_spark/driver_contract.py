@@ -1414,14 +1414,20 @@ WITH places AS (
 ), merged AS (
   -- merge-by-URI: fold alt-label / sameAs bindings of one place into sets,
   -- mirroring the Spark builder's groupBy('uri') + collect_set; the
-  -- representative (label, lat, lon) is one struct-min = a coherent binding row
+  -- representative (label, lat, lon) is one struct-min = a coherent binding
+  -- row, coordinate-bearing bindings first (+inf sentinel for null coords)
   SELECT uri,
-         min({'label': label, 'lat': lat, 'lon': lon}) AS rep,
+         min({'m': (lat IS NULL OR lon IS NULL), 'label': label,
+              'klat': coalesce(lat, 'infinity'::DOUBLE),
+              'klon': coalesce(lon, 'infinity'::DOUBLE)}) AS rep,
          list_sort(list_distinct(list(CASE WHEN sameas LIKE 'http://dbpedia.org/%' THEN sameas END))) AS sameas_refs,
          list_sort(list_distinct(list(CASE WHEN lower(alt_lang) = 'fr' THEN alt_label END))) AS alt_labels
   FROM filtered GROUP BY uri
 ), lettered AS (
-  SELECT uri, rep.label AS label, rep.lat AS lat, rep.lon AS lon, sameas_refs, alt_labels,
+  SELECT uri, rep.label AS label,
+         CASE WHEN rep.klat = 'infinity'::DOUBLE THEN NULL ELSE rep.klat END AS lat,
+         CASE WHEN rep.klon = 'infinity'::DOUBLE THEN NULL ELSE rep.klon END AS lon,
+         sameas_refs, alt_labels,
          CASE WHEN regexp_matches(lower(substr(label, 1, 1)), '^[a-z]$')
               THEN lower(substr(label, 1, 1)) ELSE 'other' END AS letter,
          CASE WHEN len(sameas_refs) > 0 THEN uri || ' ' || array_to_string(sameas_refs, ' ')

@@ -48,6 +48,10 @@ def make_aliases(firstname: str | None, lastname: str, gender: str | None = None
     """~15 surface forms per author; deterministic sorted order (the reference
     returns a HashSet — unordered; we sort for reproducibility)."""
     first = (firstname or "").strip()
+    if not lastname or not lastname.strip():
+        # no surname, no aliases: title-only forms like 'M ' would normalize to
+        # 'm' and hand every abbreviated mention in the corpus to this entity
+        return []
     has_first = first not in ("-", "")
     title = _title(gender)
     out: set[str] = set()

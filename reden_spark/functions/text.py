@@ -19,8 +19,17 @@ LINKS_TO = "http://kg.test/linksTo"
 
 def normalize_mention(col: Column | str) -> Column:
     """lower(strip whitespace/'/-)  — DicoProcessingNEL.replaceNonAlphabeticCharacters
-    (DicoProcessingNEL.java:410-415). This is the dictionary join key."""
-    return F.lower(F.regexp_replace(F.col(col) if isinstance(col, str) else col, r"\s|'|-", ""))
+    (DicoProcessingNEL.java:410-415). This is the dictionary join key.
+
+    (?U) makes the JVM regex treat \\s as UNICODE whitespace so it agrees with
+    the Python twin below (Python \\s is Unicode by default): without it a
+    non-breaking space (U+00A0, ubiquitous in French typography) survives in
+    alias_norm on the Spark side but not in the oracle/datagen side, silently
+    splitting the join key between engines. The reference's Java \\s is
+    ASCII-only — stripping NBSP too is a deliberate, documented improvement."""
+    return F.lower(
+        F.regexp_replace(F.col(col) if isinstance(col, str) else col, r"(?U)\s|'|-", "")
+    )
 
 
 def normalize_mention_py(s: str) -> str:
@@ -89,12 +98,17 @@ def extract_score(col: Column | str) -> Column:
     """Pull the '(0.123)' score suffix out of an annotated ref string —
     SignificanceTesting.prepareData (SignificanceTesting.java:74-92)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, r"\((\d[\d.]*)\)", 1).cast("double")
+    # try_cast: regexp_extract yields '' on no match, and ''::double THROWS
+    # under Spark 4's default ANSI mode (simple-path links carry no score)
+    return F.regexp_extract(c, r"\((\d[\d.]*)\)", 1).try_cast("double")
 
 
-def base_uri_of_group(uris: Column, base_prefix: str) -> Column:
-    """Last group member containing the base-KB prefix (the reference's per-group
-    `baseURI` assignment loops and overwrites, GraphHandlerNEL.java:128-132 — last
-    match wins). Null when the group has no base-KB member."""
-    matches = F.filter(uris, lambda u: u.contains(F.lit(base_prefix)))
-    return F.element_at(matches, -1)
+def last_member_with_prefix(uris: Column, prefix: str) -> Column:
+    """Last group member containing `prefix` (the reference's per-group `baseURI`
+    assignment loops and overwrites, GraphHandlerNEL.java:128-132 — last match
+    wins; the same last-wins rule drives the preferedURIOrder projection,
+    CentralityHandler.java:196-213). NULL when no member matches: try_element_at,
+    because plain element_at(-1) on the empty filtered array THROWS under
+    Spark 4's default ANSI mode instead of yielding null."""
+    matches = F.filter(uris, lambda u: u.contains(F.lit(prefix)))
+    return F.try_element_at(matches, F.lit(-1))

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import SAME_AS, decompose, encode_last_segment
+from ..functions.text import SAME_AS, decompose, encode_last_segment, last_member_with_prefix
 
 
 @dataclass(frozen=True)
@@ -78,10 +78,9 @@ def fuse_edges(
     if members is None:
         members = _group_members(candidates)
     is_base = F.col("member").contains(F.lit(cfg.base_prefix))
-    # per group: the LAST base member is the fold target (GraphHandlerNEL.java:128-132)
-    base_of_group = F.element_at(
-        F.filter(F.col("uris"), lambda u: u.contains(F.lit(cfg.base_prefix))), -1
-    )
+    # per group: the LAST base member is the fold target (GraphHandlerNEL.java:128-132);
+    # null (group with no base member) -> dropped by the isNotNull filter
+    base_of_group = last_member_with_prefix(F.col("uris"), cfg.base_prefix)
     members = members.withColumn("base_uri", base_of_group).filter(F.col("base_uri").isNotNull())
 
     sameas = kb_edges.filter(F.col("pred") == cfg.sameas_pred).select(
@@ -346,9 +345,8 @@ def choose_links(
     else:
         # per group: LAST member containing the preferred prefix; the LAST matching
         # group wins overall; a last group without a match falls back to the winner
-        grp_sel = F.element_at(
-            F.filter(F.col("uris"), lambda u: u.contains(F.lit(cfg.preferred_uri))), -1
-        )
+        # (null from last_member_with_prefix -> the coalesce below)
+        grp_sel = last_member_with_prefix(F.col("uris"), cfg.preferred_uri)
         w = Window.partitionBy("conv_id", "mention").orderBy(F.desc("group_idx"))
         chosen = (
             matching.withColumn("grp_sel", grp_sel)

@@ -147,7 +147,15 @@ def detect_mentions_relational(turns: DataFrame, terms: DataFrame) -> DataFrame:
 
     Maximality: a match strictly contained in a longer match's span is dropped
     (mirrors leftmost-longest). Word boundary: the chars adjacent to the match
-    must not be word chars.
+    must not be word chars ((?U): Unicode word chars, like the UDF twin's
+    Python \\w — accented letters count).
+
+    Contract vs the UDF twin: identical output when each term occurs at most
+    once per turn (instr finds only the FIRST substring position, so a term
+    whose first occurrence fails the boundary check contributes nothing for
+    that turn even if a later occurrence would match — e.g. 'Balzacé ... Balzac'
+    yields the standalone Balzac in the UDF path only). The UDF path is the
+    production detector; this twin exists as an all-relational cross-check.
     """
     t = terms.select(F.col("term")).distinct()
     cand = (
@@ -164,7 +172,10 @@ def detect_mentions_relational(turns: DataFrame, terms: DataFrame) -> DataFrame:
             ),
         )
         .withColumn("post", F.substring(F.col("text"), F.col("end_pos") + 1, F.lit(1)))
-        .filter(~F.col("pre").rlike(r"\w") & ~F.col("post").rlike(r"\w"))
+        # (?U): Java \w is ASCII-only, but the UDF twin's Python \w is Unicode —
+        # without the flag 'Balzacé' would boundary-match 'Balzac' here and not
+        # there (accented French letters must count as word chars in BOTH paths)
+        .filter(~F.col("pre").rlike(r"(?U)\w") & ~F.col("post").rlike(r"(?U)\w"))
         .select("conv_id", "turn_idx", F.col("term").alias("mention"), "start_pos", "end_pos")
     )
     inner = cand.alias("a").join(

@@ -90,16 +90,15 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 def fingerprint(docs: DataFrame, shingle_n: int = 5) -> DataFrame:
     """Document fingerprints: full-content md5 over normalized text, plus the
-    winnowing-style min-shingle fingerprint (min md5 over word n-grams)."""
+    winnowing-style min-shingle fingerprint (min md5 over word n-grams — the
+    shingle formula is dedup.word_shingles, shared so the two modules and their
+    DuckDB oracles can never drift)."""
+    from .dedup import word_shingles
+
     return docs.select(
         "doc_id",
         F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\W+", " "))).alias("content_md5"),
-        F.expr(
-            f"array_min(transform("
-            f"case when size(split(trim(regexp_replace(lower(text), '\\\\W+', ' ')), ' ')) >= {shingle_n} then "
-            f"transform(sequence(1, size(split(trim(regexp_replace(lower(text), '\\\\W+', ' ')), ' ')) - {shingle_n - 1}), "
-            f"i -> array_join(slice(split(trim(regexp_replace(lower(text), '\\\\W+', ' ')), ' '), i, {shingle_n}), ' ')) "
-            f"else array() end, "
-            f"s -> md5(s)))"
-        ).alias("min_shingle_md5"),
+        F.array_min(F.transform(word_shingles("text", shingle_n), F.md5)).alias(
+            "min_shingle_md5"
+        ),
     )

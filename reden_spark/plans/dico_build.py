@@ -345,16 +345,27 @@ def build_place_dico(
     alt_ok = F.when(F.lower(F.col("alt_lang")) == lang.lower(), F.col("alt_label"))
     # representative (label, lat, lon) is one struct-min — a COHERENT binding
     # row, never min(label) of one row paired with min(lat) of another (a
-    # place with two coordinate bindings must not emit a point from neither)
+    # place with two coordinate bindings must not emit a point from neither).
+    # Coordinate-BEARING bindings sort first (struct nulls would otherwise sort
+    # first and a single null-coord OPTIONAL row would strip the place's
+    # coordinates); nulls ride as an +inf sentinel so both engines order alike.
+    inf = F.lit(float("inf"))
+    coord_missing = F.col("lat").isNull() | F.col("lon").isNull()
+    rep_key = F.struct(
+        coord_missing.alias("m"),
+        F.col("label").alias("label"),
+        F.coalesce(F.col("lat"), inf).alias("klat"),
+        F.coalesce(F.col("lon"), inf).alias("klon"),
+    )
     merged = p.groupBy("uri").agg(
-        F.min(F.struct("label", "lat", "lon")).alias("rep"),
+        F.min(rep_key).alias("rep"),
         F.array_sort(F.collect_set(clean_sameas)).alias("sameas_refs"),
         F.array_sort(F.collect_set(alt_ok)).alias("alt_labels"),
     ).select(
         "uri",
         F.col("rep.label").alias("label"),
-        F.col("rep.lat").alias("lat"),
-        F.col("rep.lon").alias("lon"),
+        F.when(F.col("rep.klat") != inf, F.col("rep.klat")).alias("lat"),
+        F.when(F.col("rep.klon") != inf, F.col("rep.klon")).alias("lon"),
         "sameas_refs",
         "alt_labels",
     )

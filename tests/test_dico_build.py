@@ -204,3 +204,24 @@ def test_dico_tsv_null_and_empty_robustness(spark, tmp_path):
     assert back["Hugo"].name is None
     assert list(back["Hugo"].uris) == ["http://a", "http://b"]  # no left shift
     assert list(back["Solo"].uris) == ["http://c"]
+
+
+def test_build_place_dico_prefers_coordinate_bearing_binding(spark):
+    """A null-coord OPTIONAL binding row must not strip a place's coordinates:
+    the struct-min representative orders coordinate-bearing rows first."""
+    from reden_spark.plans.dico_build import build_place_dico
+
+    schema = (
+        "uri string, label string, label_lang string, alt_label string, alt_lang string, "
+        "is_place boolean, lat double, lon double, sameas string"
+    )
+    rows = [
+        ("u1", "Paris", "fr", "Lutèce", "fr", True, None, None, None),
+        ("u1", "Paris", "fr", None, None, True, 48.85, 2.35, None),
+        ("u2", "Nulle", "fr", None, None, True, None, None, None),
+    ]
+    out = build_place_dico(spark.createDataFrame(rows, schema)).collect()
+    paris = [r for r in out if "u1" in r.uris]
+    assert paris and all(r.lat == 48.85 and r.lon == 2.35 for r in paris)
+    nulle = [r for r in out if "u2" in r.uris]
+    assert len(nulle) == 1 and nulle[0].lat is None and nulle[0].lon is None

@@ -93,3 +93,30 @@ def test_gazetteer_longest_match():
     # word boundary: no match inside words
     assert m.find("Hugolâtre parle") == []
     assert m.find("") == []
+
+
+def test_normalize_mention_unicode_whitespace_parity(spark):
+    """U+00A0 (non-breaking space — standard French typography) must strip on
+    BOTH sides of the dictionary join key: the JVM regex runs with (?U) so Java
+    \\s agrees with Python's Unicode \\s (a divergence here silently splits
+    alias_norm between the Spark join and the oracle/datagen)."""
+    s = "Jean\u00a0Valjean"  # NBSP
+    assert normalize_mention_py(s) == "jeanvaljean"
+    assert one(spark, normalize_mention(F.lit(s))) == "jeanvaljean"
+    t = "Jean\u202fValjean"  # narrow no-break space
+    assert normalize_mention_py(t) == one(spark, normalize_mention(F.lit(t))) == "jeanvaljean"
+
+
+def test_extract_score_no_match_is_null(spark):
+    """Simple-path annotations carry no '(score)' suffix; under Spark 4's
+    default ANSI mode the '' -> double cast must not throw (try_cast)."""
+    assert one(spark, extract_score(F.lit("http://x/e1"))) is None
+    assert one(spark, extract_score(F.lit("http://x/e1(0.5)"))) == pytest.approx(0.5)
+
+
+def test_make_aliases_blank_lastname_yields_nothing():
+    """No surname -> no aliases: title-only forms ('M ', 'Mme ') would
+    normalize to 'm'/'mme' and capture every abbreviated mention corpus-wide."""
+    assert make_aliases("Jean", "") == []
+    assert make_aliases("Jean", "   ") == []
+    assert make_aliases(None, "") == []

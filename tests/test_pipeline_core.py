@@ -260,3 +260,67 @@ def test_per_turn_text_equality_invariant(spark, tables, fixture_dir):
         for r in tables["transcripts"].select("conv_id", "turn_idx", "text").collect()
     )
     assert src == via_spark
+
+
+def test_detector_twins_agree_on_accented_boundaries(spark):
+    """'Balzacé' must NOT match term 'Balzac' in EITHER detector: the UDF path
+    uses Python's Unicode \\w and the relational path now runs Java rlike with
+    (?U), so accented letters count as word chars in both."""
+    from reden_spark.operators.mentions import detect_mentions, detect_mentions_relational
+
+    t = spark.createDataFrame(
+        [
+            ("c0", 0, "Balzacé wrote nothing here."),
+            ("c0", 1, "Émile praised Balzac."),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    terms = spark.createDataFrame([("Balzac",), ("Émile",)], "term string")
+    udf_rows = {
+        (r.conv_id, r.turn_idx, r.occ_idx, r.mention, r.start_pos)
+        for r in detect_mentions(t, terms).collect()
+    }
+    rel_rows = {
+        (r.conv_id, r.turn_idx, r.occ_idx, r.mention, r.start_pos)
+        for r in detect_mentions_relational(t, terms).collect()
+    }
+    assert udf_rows == rel_rows
+    assert not [r for r in udf_rows if r[1] == 0]  # Balzacé is NOT a Balzac match
+    assert ("c0", 1, 1, "Balzac", 14) in udf_rows
+
+
+def test_disambiguate_survives_groups_without_base_or_preferred_member(spark):
+    """ANSI-mode regression: a candidate group with no base-prefix member must
+    not crash fuse_edges (element_at on an empty filtered array throws under
+    Spark 4 ANSI), and a preferred_uri prefix matching nothing must fall back
+    to the winner (oracle choose_uris :399-400) instead of throwing."""
+    from reden_spark.functions.text import normalize_mention_py
+
+    t = spark.createDataFrame(
+        [("c0", 0, "Foo Bar met Baz Qux today.")], "conv_id string, turn_idx int, text string"
+    )
+    terms = spark.createDataFrame([("Foo Bar",), ("Baz Qux",)], "term string")
+    B = datagen.BASE_PREFIX
+    d = spark.createDataFrame(
+        [
+            ("Foo Bar", normalize_mention_py("Foo Bar"), [f"{B}/p/1"]),
+            ("FooBar", normalize_mention_py("FooBar"), ["http://ext.kb/only-external"]),
+            ("Baz Qux", normalize_mention_py("Baz Qux"), [f"{B}/p/3"]),
+        ],
+        "alias string, alias_norm string, uris array<string>",
+    )
+    kb = spark.createDataFrame(
+        [("http://ext.kb/only-external", "http://kb.test/rel/knows", f"{B}/p/3")],
+        "subj string, pred string, obj string",
+    )
+    rels = spark.createDataFrame([], "pred string, weight double")
+    cfg = NELConfig(base_prefix=datagen.BASE_PREFIX, preferred_uri="http://no-such-prefix/")
+    mentions = detect_mentions(t, terms)
+    candidates = generate_candidates(mentions, d)
+    # 'Foo Bar' resolves to two groups; one has NO base member
+    assert candidates.filter("mention = 'Foo Bar'").count() == 2
+    cases = conversation_cases(mentions, candidates)
+    links = disambiguate(mentions, candidates, kb, rels, cases, cfg).collect()
+    assert links  # no ANSI crash
+    # preferred prefix matched nothing -> every chosen_uris is the raw winner fallback
+    assert all(r.chosen_uris for r in links)
