@@ -266,8 +266,17 @@ def build_kb_edges(entities: list[dict]) -> list[dict]:
 MAX_CONV_ENTITIES = 12
 
 
-def _conv_plan(rng: random.Random, conv_idx: int, entities: list[dict]) -> tuple[str, list[dict], dict[str, str | None]]:
-    """Pick a conversation kind + participant entities + term->gold map.
+def _conv_plan(rng: random.Random, conv_idx: int, entities: list[dict]) -> tuple[str, list[dict]]:
+    """Pick a conversation kind + participant entities.
+
+    Known fixture skews (accepted — deliberately NOT changed mid-benchmark
+    since every cached bench corpus and pinned count derives from this
+    generator): clusters 2 and 5 carry no ambiguous alias, so their
+    graph-kind conversations route NoAmbiguity at the gate (the graph path is
+    still exercised by clusters 0/1/3/4); and the single-alias LOC entity
+    'France' is itself ambiguous with a family name, so a few simple-kind
+    conversations route Ok. conversation_cases, not this label, decides the
+    actual path — the oracle and pipeline agree either way.
 
     Topic locality: a conversation discusses a bounded working set of entities
     (<= MAX_CONV_ENTITIES, sampled from its cluster) and keeps returning to
@@ -278,7 +287,7 @@ def _conv_plan(rng: random.Random, conv_idx: int, entities: list[dict]) -> tuple
     conversation touch thousands of entities once each."""
     kind_roll = conv_idx % 10
     if kind_roll == 9:
-        return "none", [], {}
+        return "none", []
     cluster = conv_idx % N_CLUSTERS
     members = [e for e in entities if e["cluster"] == cluster]
     if len(members) > MAX_CONV_ENTITIES:
@@ -289,8 +298,8 @@ def _conv_plan(rng: random.Random, conv_idx: int, entities: list[dict]) -> tuple
         members = core + rng.sample(extra, max(0, MAX_CONV_ENTITIES - len(core)))
     if kind_roll in (7, 8):
         # no-ambiguity conversation: only aliases that map to a single dico group.
-        return "simple", members, {}
-    return "graph", members, {}
+        return "simple", members
+    return "graph", members
 
 
 def generate(
@@ -335,7 +344,7 @@ def generate(
 
     for c in range(n_convs):
         conv_id = f"conv{c:06d}"
-        kind, members, _ = _conv_plan(rng, c, entities)
+        kind, members = _conv_plan(rng, c, entities)
         n_turns = max(2, int(rng.gauss(mean_turns, mean_turns / 4)))
         if c == 0:
             n_turns *= skew_factor  # skewed mega-conversation

@@ -569,10 +569,9 @@ O_KG_CANONICAL = SQL_PREFIX + "SELECT uri, canonical FROM canon"
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _kg_stack(spark, sf_dir)
-    # materialize the links DAG once — triple materialization consumes it from
-    # several branches (in the real pipeline it reads the links checkpoint)
-    links = _links(spark, sf_dir).localCheckpoint(eager=True)
-    return materialize_triples(links, s["kb_edges"], s["dico"])
+    # _links() already returns an eagerly-checkpointed, memoized frame — the
+    # multi-branch consumption inside materialize_triples reads those blocks
+    return materialize_triples(_links(spark, sf_dir), s["kb_edges"], s["dico"])
 
 
 O_KG_TRIPLES = SQL_PREFIX + "SELECT subj, pred, obj FROM triples"
@@ -664,9 +663,9 @@ SELECT COUNT(*) AS nb_mentions,
              / NULLIF(SUM(CASE WHEN gold_uri IS NULL THEN 1 ELSE 0 END), 0), -1.0), 6) AS nil_recall,
        round(COALESCE(SUM(CASE WHEN n_groups > 1 AND correct_in_cand AND choice_correct THEN 1 ELSE 0 END)::DOUBLE
              / NULLIF(SUM(CASE WHEN n_groups > 1 AND correct_in_cand THEN 1 ELSE 0 END), 0), -1.0), 6) AS disambiguation_accuracy,
-       round((SUM(CASE WHEN gold_uri IS NOT NULL AND choice_correct THEN 1 ELSE 0 END)
+       round(COALESCE((SUM(CASE WHEN gold_uri IS NOT NULL AND choice_correct THEN 1 ELSE 0 END)
             + SUM(CASE WHEN n_groups = 0 AND gold_uri IS NULL AND chosen_uris IS NULL THEN 1 ELSE 0 END))::DOUBLE
-             / COUNT(*), 6) AS overall_linking_accuracy
+             / NULLIF(COUNT(*), 0), -1.0), 6) AS overall_linking_accuracy
 FROM eval_recs
 """
 )
