@@ -129,6 +129,67 @@ def conversation_progress(
     )
 
 
+EVENT_STATE_SCHEMA = "n_mentions bigint, n_turns bigint, max_turn_idx int, last_ts_ms bigint"
+
+
+def conversation_progress_event_time(
+    mentions_stream: DataFrame, gap: str = "30 minutes", gap_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Watermark-driven conversation closing (`EventTimeTimeout`): a
+    conversation with no mention for `gap` of EVENT time is closed and its
+    state evicted. Late-data-safe (a replayed backlog closes the same
+    conversations regardless of wall-clock speed — ProcessingTimeTimeout
+    would close everything or nothing) and AvailableNow-safe: event-time
+    timeouts only fire while the watermark advances, so a drained stream
+    stops scheduling batches instead of re-arming forever (the round-1 hang).
+
+    `gap` doubles as the watermark delay; `gap_ms` must be its milliseconds.
+    State per live conversation: 3 counters + last event time (bounded at
+    10^12-turn scale by the eviction)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            n_m, n_t, mx, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"conv_id": conv_id, "n_mentions": n_m, "n_turns": n_t, "max_turn_idx": mx, "closed": True}]
+            )
+            return
+        n_m, n_t, mx, last_ms = state.get if state.exists else (0, 0, -1, 0)
+        batch_turns: set = set()
+        for pdf in pdfs:
+            n_m += len(pdf)
+            batch_turns.update(pdf["turn_idx"].tolist())
+            ts_max = pdf["ts"].max()
+            if pd.notna(ts_max):
+                last_ms = max(last_ms, int(pd.Timestamp(ts_max).value // 1_000_000))
+        if batch_turns:
+            n_t += len(batch_turns)
+            mx = max(mx, max(batch_turns))
+        state.update((n_m, n_t, mx, last_ms))
+        # fire when event time moves `gap` past this conversation's last
+        # mention; the timestamp must sit above the current watermark
+        state.setTimeoutTimestamp(max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            [{"conv_id": conv_id, "n_mentions": n_m, "n_turns": n_t, "max_turn_idx": mx, "closed": False}]
+        )
+
+    return (
+        mentions_stream.withWatermark("ts", gap)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=PROGRESS_OUT_SCHEMA,
+            stateStructType=EVENT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
     """Drain everything currently available into a parquet sink and stop."""
     q = (

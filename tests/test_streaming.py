@@ -101,3 +101,52 @@ def test_conversation_progress_stateful(spark, tables, fixture_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 5
+
+
+def test_conversation_progress_event_time_closing(spark, tables, fixture_dir, tmp_path):
+    """EventTimeTimeout variant: conversations idle for `gap` of EVENT time are
+    closed with their final counters and evicted; the newest conversation (last
+    mention within gap of the final watermark) stays open. AvailableNow
+    terminates — event-time timeouts fire only while the watermark advances,
+    unlike the ProcessingTimeTimeout re-arm that hung round 1."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from reden_spark.streaming.ingest import conversation_progress_event_time
+
+    src_dir = tmp_path / "et_in"
+    src_dir.mkdir()
+    shutil.copy(fixture_dir / "transcripts.parquet", src_dir / "part-0.parquet")
+    stream = stream_transcripts(spark, str(src_dir), schemas.TRANSCRIPTS)
+    mentions = stream_mentions(stream, tables["mention_terms"])
+    out = str(tmp_path / "et_out")
+    ckpt = str(tmp_path / "et_ckpt")
+    run_available_now(conversation_progress_event_time(mentions), out, ckpt)
+
+    batch = (
+        detect_mentions(tables["transcripts"], tables["mention_terms"])
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("turn_idx").alias("n_turns"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .collect()
+    )
+    want = {r.conv_id: (r.n_mentions, r.n_turns, r.max_turn_idx) for r in batch}
+
+    res = spark.read.parquet(out)
+    closed = {
+        r.conv_id: (r.n_mentions, r.n_turns, r.max_turn_idx)
+        for r in res.filter("closed").collect()
+    }
+    open_rows = {r.conv_id for r in res.filter("NOT closed").collect()}
+    # every mention-bearing conversation emitted an open progress row
+    assert open_rows == set(want)
+    # all but the newest conversation (max conv index = latest event day in the
+    # datagen layout) closed with exactly the batch-final counters
+    newest = max(want)
+    assert set(closed) == set(want) - {newest}
+    for cid, counters in closed.items():
+        assert counters == want[cid], cid
