@@ -1023,6 +1023,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_fake_media(_read(spark, sf_dir, "documents")))
 
 
+def q_media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end image decode (no codec libs): worker-side binary PPM
+    encode from each document, then mapInPandas header-parse + per-channel
+    pixel means. The oracle recreates the pixel bytes arithmetically from
+    DuckDB's md5 hex — an exact-value check on a genuine binary decoder."""
+    from .operators.multimodal import attach_ppm_media, image_stats
+
+    return image_stats(attach_ppm_media(_read(spark, sf_dir, "documents")))
+
+
+O_MEDIA_IMAGE_STATS = """
+WITH d AS (
+  SELECT doc_id, md5(coalesce(text,'')) AS hx,
+         CAST(doc_id % 7 + 2 AS INT) AS width, CAST(doc_id % 5 + 2 AS INT) AS height
+  FROM documents
+), b AS (
+  -- byte k of the payload = byte (k mod 16) of the md5 digest, decoded from
+  -- the hex pair by alphabet position; channel = k mod 3
+  SELECT doc_id, width, height,
+         (16 * (position(substr(hx, 2*(k%16)+1, 1) IN '0123456789abcdef') - 1)
+             + (position(substr(hx, 2*(k%16)+2, 1) IN '0123456789abcdef') - 1)) AS v,
+         k % 3 AS c
+  FROM d, unnest(range(width*height*3)) AS u(k)
+)
+SELECT doc_id, width, height,
+       CAST(SUM(CASE WHEN c=0 THEN v END) // (width*height) AS INT) AS mean_r,
+       CAST(SUM(CASE WHEN c=1 THEN v END) // (width*height) AS INT) AS mean_g,
+       CAST(SUM(CASE WHEN c=2 THEN v END) // (width*height) AS INT) AS mean_b
+FROM b GROUP BY doc_id, width, height
+"""
+
+
 # ---------------------------------------------------------------------------
 # Enrichment mode (reference §3.3: occurrence counts + property assignment)
 # ---------------------------------------------------------------------------
@@ -2001,6 +2033,7 @@ QUERIES = {
     "text_language_id": q_text_language_id,
     "text_fingerprint": q_text_fingerprint,
     "media_features": q_media_features,
+    "media_image_stats": q_media_image_stats,
     "rel_pushdown_agg": q_rel_pushdown_agg,
     "rel_join_topk": q_rel_join_topk,
     "rel_sessionize": q_rel_sessionize,
@@ -2055,4 +2088,5 @@ ORACLES = {
     "rel_join_topk": O_REL_JOIN_TOPK,
     "rel_sessionize": O_REL_SESSIONIZE,
     "rel_significance": O_REL_SIGNIFICANCE,
+    "media_image_stats": O_MEDIA_IMAGE_STATS,
 }

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary` columns with
 typed metadata, processed through Arrow-batched mapInPandas.
 
-The container ships no image/audio codecs, so the decode step is STUBBED
+The container ships no image/audio codecs, so codec-backed decoding is STUBBED
 (`decode_media` raises NotImplementedError; `fake_decode` is the deterministic
 stand-in) — the Spark-side contract (schema, batching, partition behavior, UDF
 signatures) is real and tested. Swapping in PIL/ffmpeg later only replaces the
-two marked functions.
+two marked functions. One format decodes END-TO-END for real: binary netpbm P6
+(PPM) is uncompressed, so `encode_ppm`/`decode_ppm`/`image_stats` perform a
+genuine encode -> header-parse -> pixel-statistics pipeline in pure
+Python/numpy (parity-tested against an independent reference decode).
 """
 
 from __future__ import annotations
@@ -94,6 +97,105 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", IntegerType(), True),  # 0-255, floor of channel mean
+        StructField("mean_g", IntegerType(), True),
+        StructField("mean_b", IntegerType(), True),
+    ]
+)
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary netpbm P6 image: 'P6\\n{w} {h}\\n255\\n' + w*h*3 raw RGB bytes.
+    Uncompressed, so it encodes/decodes with zero codec libraries — the one
+    image format this container can process END-TO-END for real."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL decode of a binary P6 PPM: (width, height, mean_r, mean_g, mean_b),
+    channel means floored to ints. Raises ValueError on malformed input."""
+    import re
+
+    import numpy as np
+
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval, then EXACTLY ONE whitespace byte
+    # before the raw pixel data — bytes.split() would also eat whitespace BYTES
+    # that happen to start the pixel payload (0x0a/0x20 are valid pixel values)
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", payload)
+    if not m:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    px = np.frombuffer(payload[m.end() : m.end() + w * h * 3], dtype=np.uint8)
+    if px.size != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    means = px.reshape(-1, 3).mean(axis=0)
+    return (w, h, int(means[0]), int(means[1]), int(means[2]))
+
+
+def attach_ppm_media(docs: DataFrame) -> DataFrame:
+    """Synthesize VALID binary PPM images deterministically from each document
+    (dimensions from doc_id, pixels by cycling md5(text) bytes) — real encoded
+    payloads for the real decoder, generated worker-side via mapInPandas so no
+    binary ever visits the driver."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h = int(doc_id) % 7 + 2, int(doc_id) % 5 + 2
+                seed = hashlib.md5((text or "").encode()).digest()
+                rgb = (seed * (w * h * 3 // len(seed) + 1))[: w * h * 3]
+                payloads.append(encode_ppm(w, h, rgb))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "width": widths,
+                    "height": heights,
+                    "duration_ms": None,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decoding over mapInPandas: per image, dimensions
+    from the payload header (not trusted metadata) + per-channel means. The
+    production shape for decode->feature pipelines; payloads stay on workers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_ppm(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "mean_r": [r[2] for r in rows],
+                    "mean_g": [r[3] for r in rows],
+                    "mean_b": [r[4] for r in rows],
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -382,3 +382,40 @@ def test_multimodal_plumbing(spark, docs):
     assert frames.count() > 0
     with pytest.raises(NotImplementedError):
         decode_media(b"x", "image")
+
+
+def test_ppm_image_stats_real_decode(spark, docs):
+    """End-to-end REAL image pipeline (no codec libs): worker-side PPM encode ->
+    mapInPandas header-parse + pixel statistics, verified against an
+    independent pure-Python decode of the same payloads."""
+    import hashlib
+
+    from reden_spark.operators.multimodal import (
+        attach_ppm_media,
+        decode_ppm,
+        encode_ppm,
+        image_stats,
+    )
+
+    media = attach_ppm_media(docs)
+    got = {r.doc_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b)
+           for r in image_stats(media).collect()}
+
+    want = {}
+    for row in docs.select("doc_id", "text").collect():
+        w, h = row.doc_id % 7 + 2, row.doc_id % 5 + 2
+        seed = hashlib.md5((row.text or "").encode()).digest()
+        rgb = (seed * (w * h * 3 // len(seed) + 1))[: w * h * 3]
+        # independent reference decode: plain ints, no numpy
+        px = list(rgb)
+        n = w * h
+        means = tuple(sum(px[c::3]) // n for c in range(3))
+        want[row.doc_id] = (w, h, *means)
+        # round-trip through the real decoder too
+        assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, *means)
+
+    assert got == want and len(got) > 100
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_ppm(b"JFIF not a ppm")
