@@ -1055,6 +1055,43 @@ FROM b GROUP BY doc_id, width, height
 """
 
 
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end audio decode (no codec libs): worker-side PCM WAV encode
+    from each document, then mapInPandas RIFF-header parse + RMS amplitude over
+    the samples. Oracle recreates the little-endian signed 16-bit samples from
+    DuckDB's md5 hex; sums of squares stay under 2^53 so the double arithmetic
+    is bit-identical across engines."""
+    from .operators.multimodal import attach_wav_media, audio_stats
+
+    return audio_stats(attach_wav_media(_read(spark, sf_dir, "documents")))
+
+
+O_MEDIA_AUDIO_STATS = """
+WITH d AS (
+  SELECT doc_id, md5(coalesce(text,'')) AS hx,
+         CAST(doc_id % 50 + 10 AS INT) AS n,
+         CAST(8000 + doc_id % 4 * 4000 AS INT) AS sample_rate
+  FROM documents
+), raw AS (
+  -- sample k = little-endian signed int16 of payload bytes (2k, 2k+1), each
+  -- byte = digest byte (j mod 16) decoded from the hex pair
+  SELECT doc_id, n, sample_rate,
+         ((16 * (position(substr(hx, 2*((2*k)%16)+1, 1) IN '0123456789abcdef') - 1)
+              + (position(substr(hx, 2*((2*k)%16)+2, 1) IN '0123456789abcdef') - 1))
+        + 256 * (16 * (position(substr(hx, 2*((2*k+1)%16)+1, 1) IN '0123456789abcdef') - 1)
+              + (position(substr(hx, 2*((2*k+1)%16)+2, 1) IN '0123456789abcdef') - 1))) AS u
+  FROM d, unnest(range(n)) AS t(k)
+), s AS (
+  SELECT doc_id, n, sample_rate,
+         CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS DOUBLE) AS v
+  FROM raw
+)
+SELECT doc_id, sample_rate, n AS n_samples,
+       CAST(floor(sqrt(SUM(v * v) / n)) AS INT) AS rms
+FROM s GROUP BY doc_id, sample_rate, n
+"""
+
+
 # ---------------------------------------------------------------------------
 # Enrichment mode (reference §3.3: occurrence counts + property assignment)
 # ---------------------------------------------------------------------------
@@ -2034,6 +2071,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "media_features": q_media_features,
     "media_image_stats": q_media_image_stats,
+    "media_audio_stats": q_media_audio_stats,
     "rel_pushdown_agg": q_rel_pushdown_agg,
     "rel_join_topk": q_rel_join_topk,
     "rel_sessionize": q_rel_sessionize,
@@ -2089,4 +2127,5 @@ ORACLES = {
     "rel_sessionize": O_REL_SESSIONIZE,
     "rel_significance": O_REL_SIGNIFICANCE,
     "media_image_stats": O_MEDIA_IMAGE_STATS,
+    "media_audio_stats": O_MEDIA_AUDIO_STATS,
 }

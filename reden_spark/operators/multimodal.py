@@ -5,10 +5,12 @@ The container ships no image/audio codecs, so codec-backed decoding is STUBBED
 (`decode_media` raises NotImplementedError; `fake_decode` is the deterministic
 stand-in) — the Spark-side contract (schema, batching, partition behavior, UDF
 signatures) is real and tested. Swapping in PIL/ffmpeg later only replaces the
-two marked functions. One format decodes END-TO-END for real: binary netpbm P6
-(PPM) is uncompressed, so `encode_ppm`/`decode_ppm`/`image_stats` perform a
-genuine encode -> header-parse -> pixel-statistics pipeline in pure
-Python/numpy (parity-tested against an independent reference decode).
+two marked functions. Two formats decode END-TO-END for real because they are
+uncompressed: binary netpbm P6 (`encode_ppm`/`decode_ppm`/`image_stats`) and
+PCM mono 16-bit WAV (`encode_wav`/`decode_wav`/`audio_stats`) — genuine
+encode -> header-parse -> sample/pixel-statistics pipelines in pure
+Python/numpy, each parity-tested against an independent reference decode and
+an exact DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -196,6 +198,106 @@ def image_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.filter(F.col("media_type") == "image").mapInPandas(run, IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("rms", IntegerType(), True),  # floor of RMS amplitude
+    ]
+)
+
+
+def encode_wav(sample_rate: int, pcm: bytes) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header (PCM, mono, 16-bit LE) + raw samples —
+    the second format this container can decode END-TO-END without codecs."""
+    import struct
+
+    n = len(pcm)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """REAL decode of a PCM WAV: (sample_rate, n_samples, floor(RMS amplitude)).
+    Raises ValueError on malformed/compressed input."""
+    import struct
+
+    import numpy as np
+
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    if payload[12:16] != b"fmt " or len(payload) < 44:
+        raise ValueError("truncated WAV header")
+    fmt, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", payload[20:36])
+    if fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError("only PCM mono 16-bit supported")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (n_bytes,) = struct.unpack("<I", payload[40:44])
+    samples = np.frombuffer(payload[44 : 44 + n_bytes], dtype="<i2")
+    if samples.size * 2 != n_bytes:
+        raise ValueError("truncated PCM data")
+    rms = int((samples.astype(np.float64) ** 2).mean() ** 0.5) if samples.size else 0
+    return (sample_rate, int(samples.size), rms)
+
+
+def attach_wav_media(docs: DataFrame) -> DataFrame:
+    """Synthesize VALID mono 16-bit PCM WAV payloads deterministically from each
+    document (sample count/rate from doc_id, PCM bytes by cycling md5(text)) —
+    real encoded audio for the real decoder, generated worker-side."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, durations = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = int(doc_id) % 50 + 10  # samples
+                rate = 8000 + int(doc_id) % 4 * 4000
+                seed = hashlib.md5((text or "").encode()).digest()
+                pcm = (seed * (2 * n // len(seed) + 1))[: 2 * n]
+                payloads.append(encode_wav(rate, pcm))
+                durations.append(int(n * 1000 / rate))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "width": None,
+                    "height": None,
+                    "duration_ms": durations,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decoding over mapInPandas: header-parsed sample
+    rate/count plus RMS amplitude from the PCM samples themselves."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [r[0] for r in rows],
+                    "n_samples": [r[1] for r in rows],
+                    "rms": [r[2] for r in rows],
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(run, AUDIO_STATS_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
