@@ -1092,6 +1092,39 @@ FROM s GROUP BY doc_id, sample_rate, n
 """
 
 
+def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end video frame sampling (no codec libs): worker-side raw
+    YUV4MPEG2 encode from each document, then mapInPandas FRAME-marker parse
+    fanning out one row per frame with its Y-plane luma mean. Oracle recreates
+    each frame's luma bytes arithmetically from DuckDB's md5 hex."""
+    from .operators.multimodal import attach_y4m_media, frame_luma_stats
+
+    return frame_luma_stats(attach_y4m_media(_read(spark, sf_dir, "documents")))
+
+
+O_MEDIA_FRAME_STATS = """
+WITH d AS (
+  SELECT doc_id, md5(coalesce(text,'')) AS hx,
+         CAST(doc_id % 3 * 2 + 4 AS INT) AS width,
+         CAST(doc_id % 2 * 2 + 2 AS INT) AS height,
+         CAST(doc_id % 4 + 1 AS INT) AS n_frames
+  FROM documents
+), fr AS (
+  SELECT *, width*height + 2*(width*height//4) AS plane FROM d
+), px AS (
+  -- Y-plane byte j of frame f = stream byte (f*plane + j) = digest byte
+  -- ((f*plane + j) mod 16), decoded from the hex pair
+  SELECT doc_id, width, height, CAST(f AS INT) AS frame_idx,
+         (16 * (position(substr(hx, 2*((f*plane + j) % 16)+1, 1) IN '0123456789abcdef') - 1)
+             + (position(substr(hx, 2*((f*plane + j) % 16)+2, 1) IN '0123456789abcdef') - 1)) AS v
+  FROM fr, unnest(range(n_frames)) AS a(f), unnest(range(width*height)) AS b(j)
+)
+SELECT doc_id, frame_idx, width, height,
+       CAST(SUM(v) // (width*height) AS INT) AS mean_y
+FROM px GROUP BY doc_id, frame_idx, width, height
+"""
+
+
 # ---------------------------------------------------------------------------
 # Enrichment mode (reference §3.3: occurrence counts + property assignment)
 # ---------------------------------------------------------------------------
@@ -2072,6 +2105,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_image_stats": q_media_image_stats,
     "media_audio_stats": q_media_audio_stats,
+    "media_frame_stats": q_media_frame_stats,
     "rel_pushdown_agg": q_rel_pushdown_agg,
     "rel_join_topk": q_rel_join_topk,
     "rel_sessionize": q_rel_sessionize,
@@ -2128,4 +2162,5 @@ ORACLES = {
     "rel_significance": O_REL_SIGNIFICANCE,
     "media_image_stats": O_MEDIA_IMAGE_STATS,
     "media_audio_stats": O_MEDIA_AUDIO_STATS,
+    "media_frame_stats": O_MEDIA_FRAME_STATS,
 }

@@ -5,12 +5,13 @@ The container ships no image/audio codecs, so codec-backed decoding is STUBBED
 (`decode_media` raises NotImplementedError; `fake_decode` is the deterministic
 stand-in) — the Spark-side contract (schema, batching, partition behavior, UDF
 signatures) is real and tested. Swapping in PIL/ffmpeg later only replaces the
-two marked functions. Two formats decode END-TO-END for real because they are
-uncompressed: binary netpbm P6 (`encode_ppm`/`decode_ppm`/`image_stats`) and
-PCM mono 16-bit WAV (`encode_wav`/`decode_wav`/`audio_stats`) — genuine
-encode -> header-parse -> sample/pixel-statistics pipelines in pure
-Python/numpy, each parity-tested against an independent reference decode and
-an exact DuckDB oracle.
+two marked functions. All three modalities decode END-TO-END for real via
+uncompressed formats: binary netpbm P6 images (`encode_ppm`/`decode_ppm`/
+`image_stats`), PCM mono 16-bit WAV audio (`encode_wav`/`decode_wav`/
+`audio_stats`) and raw YUV4MPEG2 video with per-frame sampling (`encode_y4m`/
+`decode_y4m_frames`/`frame_luma_stats`) — genuine encode -> header-parse ->
+statistics pipelines in pure Python/numpy, each parity-tested against an
+independent reference decode and an exact DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -298,6 +299,121 @@ def audio_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.filter(F.col("media_type") == "audio").mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_y", IntegerType(), True),  # floor of frame luma mean
+    ]
+)
+
+
+def encode_y4m(width: int, height: int, frames: list) -> bytes:
+    """Raw YUV4MPEG2 (C420): 'YUV4MPEG2 W H F C420\\n' + per frame 'FRAME\\n' +
+    Y (w*h) + U + V (w*h/4 each) planes — uncompressed raw video, the third
+    codec-free format. Dims must be even (4:2:0 chroma)."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 needs even dimensions")
+    plane = width * height + 2 * (width * height // 4)
+    out = [b"YUV4MPEG2 W%d H%d F25:1 C420\n" % (width, height)]
+    for fr in frames:
+        if len(fr) != plane:
+            raise ValueError(f"need {plane} YUV bytes per frame, got {len(fr)}")
+        out.append(b"FRAME\n")
+        out.append(fr)
+    return b"".join(out)
+
+
+def decode_y4m_frames(payload: bytes) -> list:
+    """REAL decode of a y4m stream: [(frame_idx, width, height, mean_luma)] with
+    the luma mean floored to int, computed over each frame's Y plane."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    for tok in payload[:nl].split()[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    if not w or not h:
+        raise ValueError("missing W/H in y4m header")
+    ysize, frame_size = w * h, w * h + 2 * (w * h // 4)
+    pos, idx, out = nl + 1, 0, []
+    while pos < len(payload):
+        if payload[pos : pos + 6] != b"FRAME\n":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos += 6
+        y = np.frombuffer(payload[pos : pos + ysize], dtype=np.uint8)
+        if y.size != ysize:
+            raise ValueError("truncated frame")
+        out.append((idx, w, h, int(y.mean())))
+        pos += frame_size
+        idx += 1
+    return out
+
+
+def attach_y4m_media(docs: DataFrame) -> DataFrame:
+    """Synthesize VALID multi-frame y4m clips deterministically from each
+    document (even dims + frame count from doc_id, planes by cycling md5(text))
+    — real raw video for the real frame decoder, generated worker-side."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights, durations = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h = int(doc_id) % 3 * 2 + 4, int(doc_id) % 2 * 2 + 2
+                n_frames = int(doc_id) % 4 + 1
+                plane = w * h + 2 * (w * h // 4)
+                seed = hashlib.md5((text or "").encode()).digest()
+                stream = (seed * (plane * n_frames // len(seed) + 1))[: plane * n_frames]
+                frames = [stream[f * plane : (f + 1) * plane] for f in range(n_frames)]
+                payloads.append(encode_y4m(w, h, frames))
+                widths.append(w)
+                heights.append(h)
+                durations.append(n_frames * 40)  # 25 fps
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                    "width": widths,
+                    "height": heights,
+                    "duration_ms": durations,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def frame_luma_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL video frame sampling over mapInPandas: each clip fans
+    out to one row per frame with the frame's luma mean — the frame-level
+    explode the stubbed `frame_sample_plan` only modeled, now decoding real
+    bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, ys = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, w, h, mean_y in decode_y4m_frames(payload):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    ws.append(w)
+                    hs.append(h)
+                    ys.append(mean_y)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "width": ws, "height": hs, "mean_y": ys}
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_STATS_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

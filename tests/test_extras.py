@@ -454,3 +454,42 @@ def test_wav_audio_stats_real_decode(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         decode_wav(b"OggS not a wav")
+
+
+def test_y4m_frame_stats_real_decode(spark, docs):
+    """End-to-end REAL video pipeline (no codec libs): worker-side y4m encode
+    -> mapInPandas per-FRAME parse + luma means, verified against an
+    independent pure-Python decode; one output row per frame."""
+    import hashlib
+
+    from reden_spark.operators.multimodal import (
+        attach_y4m_media,
+        decode_y4m_frames,
+        encode_y4m,
+        frame_luma_stats,
+    )
+
+    got = {(r.doc_id, r.frame_idx): (r.width, r.height, r.mean_y)
+           for r in frame_luma_stats(attach_y4m_media(docs)).collect()}
+
+    want = {}
+    for row in docs.select("doc_id", "text").collect():
+        w, h = row.doc_id % 3 * 2 + 4, row.doc_id % 2 * 2 + 2
+        n_frames = row.doc_id % 4 + 1
+        plane = w * h + 2 * (w * h // 4)
+        seed = hashlib.md5((row.text or "").encode()).digest()
+        stream = (seed * (plane * n_frames // 16 + 1))[: plane * n_frames]
+        frames = [stream[f * plane:(f + 1) * plane] for f in range(n_frames)]
+        for f in range(n_frames):
+            y = list(frames[f][: w * h])
+            want[(row.doc_id, f)] = (w, h, sum(y) // (w * h))
+        # round-trip through the real decoder too
+        assert decode_y4m_frames(encode_y4m(w, h, frames)) == [
+            (f, w, h, want[(row.doc_id, f)][2]) for f in range(n_frames)
+        ]
+
+    assert got == want and len(got) > 500  # multi-frame fan-out
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_y4m_frames(b"RIFF not y4m")
