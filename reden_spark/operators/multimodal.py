@@ -79,10 +79,11 @@ def fake_decode(payload: bytes) -> tuple[int, int]:
     return (len(payload or b""), payload[0] if payload else -1)
 
 
-def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas — the production shape for
     per-item media processing (decode -> features) without ever collecting binary
-    payloads to the driver."""
+    payloads to the driver. Batch sizing is the session's
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -141,6 +142,8 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
     w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
     if maxval != 255:
         raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PPM")
     px = np.frombuffer(payload[m.end() : m.end() + w * h * 3], dtype=np.uint8)
     if px.size != w * h * 3:
         raise ValueError("truncated PPM pixel data")
@@ -350,9 +353,9 @@ def decode_y4m_frames(payload: bytes) -> list:
         if payload[pos : pos + 6] != b"FRAME\n":
             raise ValueError(f"expected FRAME marker at byte {pos}")
         pos += 6
+        if pos + frame_size > len(payload):
+            raise ValueError("truncated frame (Y or chroma planes incomplete)")
         y = np.frombuffer(payload[pos : pos + ysize], dtype=np.uint8)
-        if y.size != ysize:
-            raise ValueError("truncated frame")
         out.append((idx, w, h, int(y.mean())))
         pos += frame_size
         idx += 1

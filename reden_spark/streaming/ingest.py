@@ -18,9 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.candidates import generate_candidates
-from ..operators.mentions import detect_mentions
-
 
 def stream_transcripts(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
@@ -40,14 +37,26 @@ def stream_mentions(turns_stream: DataFrame, terms: DataFrame) -> DataFrame:
 
 
 def stream_candidates(mentions_stream: DataFrame, dico: DataFrame) -> DataFrame:
-    """Streaming candidate generation: stream-static broadcast join on alias_norm."""
+    """Streaming candidate generation: stream-static broadcast join on
+    alias_norm, BATCH-faithful — inner join (no phantom uris=NULL rows) with
+    the same dico-side deterministic group_idx window as
+    `generate_candidates` (oracle divergence D1), occurrence grain preserved
+    (start_pos kept so compaction can assign occ_idx and distinguish repeated
+    mentions in one turn)."""
+    from pyspark.sql import Window
+
     from ..functions.text import normalize_mention
 
-    d = F.broadcast(dico.select("alias_norm", "uris").distinct())
+    wd = Window.partitionBy("alias_norm").orderBy("uris")
+    d = F.broadcast(
+        dico.select("alias_norm", "uris")
+        .distinct()
+        .withColumn("group_idx", (F.row_number().over(wd) - 1).cast("int"))
+    )
     return (
         mentions_stream.withColumn("alias_norm", normalize_mention("mention"))
-        .join(d, "alias_norm", "left")
-        .select("conv_id", "turn_idx", "ts", "mention", "uris")
+        .join(d, "alias_norm", "inner")
+        .select("conv_id", "turn_idx", "ts", "mention", "start_pos", "group_idx", "uris")
     )
 
 
@@ -133,7 +142,7 @@ EVENT_STATE_SCHEMA = "n_mentions bigint, n_turns bigint, max_turn_idx int, last_
 
 
 def conversation_progress_event_time(
-    mentions_stream: DataFrame, gap: str = "30 minutes", gap_ms: int = 30 * 60 * 1000
+    mentions_stream: DataFrame, gap_ms: int = 30 * 60 * 1000
 ) -> DataFrame:
     """Watermark-driven conversation closing (`EventTimeTimeout`): a
     conversation with no mention for `gap` of EVENT time is closed and its
@@ -143,11 +152,18 @@ def conversation_progress_event_time(
     timeouts only fire while the watermark advances, so a drained stream
     stops scheduling batches instead of re-arming forever (the round-1 hang).
 
-    `gap` doubles as the watermark delay; `gap_ms` must be its milliseconds.
-    State per live conversation: 3 counters + last event time (bounded at
-    10^12-turn scale by the eviction)."""
+    The watermark delay is derived from `gap_ms` (one knob — they cannot
+    desynchronize). State per live conversation: 3 counters + last event time
+    (bounded at 10^12-turn scale by the eviction)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = f"{gap_ms} milliseconds"
+    # applyInPandasWithState hands the UDF tz-NAIVE timestamps in the session
+    # time zone, while getCurrentWatermarkMs/setTimeoutTimestamp speak UTC
+    # epoch ms — capture the session tz at plan time and localize worker-side
+    # (session.py pins UTC, but the operator must not depend on that)
+    session_tz = mentions_stream.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def update(key: tuple, pdfs, state: GroupState):
         conv_id = key[0]
@@ -165,7 +181,10 @@ def conversation_progress_event_time(
             batch_turns.update(pdf["turn_idx"].tolist())
             ts_max = pdf["ts"].max()
             if pd.notna(ts_max):
-                last_ms = max(last_ms, int(pd.Timestamp(ts_max).value // 1_000_000))
+                t = pd.Timestamp(ts_max)
+                if t.tz is None:
+                    t = t.tz_localize(session_tz)
+                last_ms = max(last_ms, int(t.value // 1_000_000))
         if batch_turns:
             n_t += len(batch_turns)
             mx = max(mx, max(batch_turns))

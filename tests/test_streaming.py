@@ -150,3 +150,40 @@ def test_conversation_progress_event_time_closing(spark, tables, fixture_dir, tm
     assert set(closed) == set(want) - {newest}
     for cid, counters in closed.items():
         assert counters == want[cid], cid
+
+
+def test_stream_candidates_equals_batch(spark, tables, fixture_dir, tmp_path):
+    """Streaming candidate generation must be batch-faithful at occurrence
+    grain: inner join (no phantom uris=NULL rows), deterministic group_idx
+    (oracle D1), start_pos preserved so compaction can assign occ_idx."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from reden_spark.operators.candidates import generate_candidates
+    from reden_spark.streaming.ingest import stream_candidates
+
+    src_dir = tmp_path / "cand_in"
+    src_dir.mkdir()
+    shutil.copy(fixture_dir / "transcripts.parquet", src_dir / "part-0.parquet")
+    stream = stream_transcripts(spark, str(src_dir), schemas.TRANSCRIPTS)
+    out = str(tmp_path / "cand_out")
+    ckpt = str(tmp_path / "cand_ckpt")
+    run_available_now(
+        stream_candidates(stream_mentions(stream, tables["mention_terms"]), tables["dico"]),
+        out, ckpt,
+    )
+
+    got = {
+        (r.conv_id, r.turn_idx, r.mention, r.start_pos, r.group_idx, tuple(r.uris))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert all(u for *_, u in got)  # inner join: no NULL/empty uris rows
+    # expected: batch detection x batch candidate groups at occurrence grain
+    mentions = detect_mentions(tables["transcripts"], tables["mention_terms"])
+    cands = generate_candidates(mentions, tables["dico"])
+    want = {
+        (r.conv_id, r.turn_idx, r.mention, r.start_pos, r.group_idx, tuple(r.uris))
+        for r in mentions.join(cands, ["conv_id", "mention"]).collect()
+    }
+    assert got == want and len(got) > 50
