@@ -175,14 +175,48 @@ def empty_rel_weights(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], "pred string, weight double")
 
 
-_STACK_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_STACK_CACHE: dict[tuple, dict[str, DataFrame]] = {}
 
 
-def _evict_stale(cache: dict, app_id: str) -> None:
-    """Drop cache entries keyed by other applicationIds: they belong to stopped
-    sessions whose checkpointed frames are unusable and only retain memory."""
-    for stale in [k for k in cache if k[0] != app_id]:
-        del cache[stale]
+def _sf_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content fingerprint of the parquet files under sf_dir (name, size,
+    mtime). Regenerating the data in-place within one application changes the
+    fingerprint, so memoized stacks derived from the old files are not served
+    stale."""
+    import os
+
+    out = []
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, name))
+                out.append((name, st.st_size, int(st.st_mtime_ns)))
+    except OSError:
+        pass
+    return tuple(out)
+
+
+def _unpersist_frames(obj) -> None:
+    """Best-effort release of an evicted entry's eagerly-checkpointed blocks so
+    they don't pin executor memory until GC."""
+    frames = obj.values() if isinstance(obj, dict) else [obj]
+    for df in frames:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def _evict_stale(cache: dict, app_id: str, key=None) -> None:
+    """Drop cache entries keyed by other applicationIds (stopped sessions whose
+    checkpointed frames are unusable) or by an outdated sf_dir fingerprint,
+    unpersisting their frames on the way out."""
+    # fingerprint is always the LAST key element: an entry matching on
+    # everything but the fingerprint was derived from since-regenerated data
+    for stale in [
+        k for k in cache if k[0] != app_id or (key is not None and k[:-1] == key[:-1] and k != key)
+    ]:
+        _unpersist_frames(cache.pop(stale))
 
 
 def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -195,11 +229,11 @@ def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     re-executing a lazily-checkpointed frame per consumer). Results are
     unchanged — the cache stores the exact DataFrames a fresh derivation
     would return."""
-    key = (spark.sparkContext.applicationId, str(sf_dir))
+    key = (spark.sparkContext.applicationId, str(sf_dir), _sf_fingerprint(str(sf_dir)))
     hit = _STACK_CACHE.get(key)
     if hit is not None:
         return hit
-    _evict_stale(_STACK_CACHE, key[0])
+    _evict_stale(_STACK_CACHE, key[0], key)
     transcripts = derive_transcripts(spark, sf_dir)
     terms = derive_mention_terms(spark, sf_dir)
     dico = derive_dico(spark, sf_dir)
@@ -240,13 +274,13 @@ WITH RECURSIVE turns_raw AS (
 ),
 transcripts AS (SELECT conv_id, turn_idx, role, text FROM turns_raw),
 dico AS (
-  SELECT n_name || 'X' AS alias, lower(regexp_replace(n_name || 'X', '\\s|''|-', '', 'g')) AS alias_norm,
+  SELECT n_name || 'X' AS alias, lower(regexp_replace(n_name || 'X', '[\\s\\x0b\\xa0 ]|''|-', '', 'g')) AS alias_norm,
          n_name || 'X' AS name, 'LOC' AS ne_type,
          ['{BASE}/nat/' || CAST(n_nationkey AS VARCHAR),
           'http://kb.test/alt/nat/' || CAST(n_nationkey AS VARCHAR)] AS uris
   FROM nation
   UNION ALL
-  SELECT n_name || 'X', lower(regexp_replace(n_name || 'X', '\\s|''|-', '', 'g')), n_name || 'X', 'LOC',
+  SELECT n_name || 'X', lower(regexp_replace(n_name || 'X', '[\\s\\x0b\\xa0 ]|''|-', '', 'g')), n_name || 'X', 'LOC',
          ['{BASE}/shadow/' || CAST(n_nationkey AS VARCHAR),
           'http://kb.test/alt/shadow/' || CAST(n_nationkey AS VARCHAR)]
   FROM nation WHERE n_nationkey % 5 = 0
@@ -296,7 +330,7 @@ candidates AS (
          uris
   FROM (SELECT DISTINCT m.conv_id, m.mention, d.uris
         FROM (SELECT DISTINCT conv_id, mention FROM mentions) m
-        JOIN dico d ON lower(regexp_replace(m.mention, '\\s|''|-', '', 'g')) = d.alias_norm)
+        JOIN dico d ON lower(regexp_replace(m.mention, '[\\s\\x0b\\xa0 ]|''|-', '', 'g')) = d.alias_norm)
 ),
 cases AS (
   SELECT m.conv_id, CASE WHEN MAX(COALESCE(g.n_groups, 0)) > 1 THEN 'Ok' ELSE 'NoAmbiguity' END AS route
@@ -514,17 +548,17 @@ def q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_KG_DEGREES = SQL_PREFIX + "SELECT conv_id, v, degree FROM degrees"
 
 
-_LINKS_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+_LINKS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _links(spark: SparkSession, sf_dir: str, grouped: bool = False) -> DataFrame:
     """LINKS, memoized like :func:`_kg_stack` — consumed by the links/triples/
     annotate/eval/occurrence query families."""
-    key = (spark.sparkContext.applicationId, str(sf_dir), grouped)
+    key = (spark.sparkContext.applicationId, str(sf_dir), grouped, _sf_fingerprint(str(sf_dir)))
     hit = _LINKS_CACHE.get(key)
     if hit is not None:
         return hit
-    _evict_stale(_LINKS_CACHE, key[0])
+    _evict_stale(_LINKS_CACHE, key[0], key)
     s = _kg_stack(spark, sf_dir)
     if grouped:
         from .operators.grouped import disambiguate_grouped
@@ -845,10 +879,33 @@ SELECT query_id, rank, neighbor_id FROM (
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # numpy hyperplane buckets: rows-only check (no SQL oracle)
+    """Sign-LSH bucketed top-k with the codegen integer-plane bucketer — the
+    bucket ids (and therefore the candidate cut) are reproduced exactly by the
+    DuckDB oracle; recall vs the exact baseline is additionally pinned in
+    tests/test_extras.py."""
     from .operators.similarity import lsh_topk
 
     return lsh_topk(_read(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_planes=4)
+
+
+def _o_ann_lsh_topk() -> str:
+    from .operators.similarity import EMB_DIM, signlsh_bucket_sql
+
+    bucket = signlsh_bucket_sql("embedding", EMB_DIM, n_planes=4)
+    cos = _sql_cosine("q.qv", "c.embedding")
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {cos} AS sim
+  FROM q JOIN e c USING (bucket) WHERE c.vec_id != q.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,14 +915,84 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with the Lloyd-trained quantizer (train_iters=2) — rows-only: the
-    iterative float means are not stably SQL-expressible, parity is covered by
-    tests/test_extras.py::test_ivf_trained_centroids (determinism + full-probe
-    == exact top-k)."""
+    """IVF with the Lloyd-trained quantizer (train_iters=2). The trainer
+    quantizes each iteration's per-cell means to 6 decimals
+    (similarity.train_centroids), which makes the trained centroids — and the
+    resulting cell assignment/probe — exactly reproducible in SQL: the oracle
+    unrolls both Lloyd iterations as CTEs. Determinism + full-probe-equals-exact
+    remain pinned in tests/test_extras.py."""
     from .operators.similarity import ivf_topk
 
     return ivf_topk(
         _read(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_list=8, n_probe=2, train_iters=2
+    )
+
+
+def _o_ann_ivf_trained(n_list: int = 8, n_probe: int = 2, iters: int = 2) -> str:
+    """DuckDB twin of ivf_topk(train_iters=2): unrolled quantized-Lloyd.
+
+    Each iteration CTE pair mirrors similarity.train_centroids exactly —
+    assign every vector to its nearest current centroid (cosine rounded to 6
+    decimals, ties to the lower cid), then recompute per-cell element-wise
+    means rounded to 6 decimals. list(... ORDER BY pos) rebuilds the centroid
+    vector in element order like Spark's array_sort(collect_list(struct))."""
+    from .operators.similarity import EMB_DIM
+
+    def assign(cent: str, name: str) -> str:
+        cos = _sql_cosine("e.embedding", "c.cvec")
+        return f"""{name} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid) AS crn
+    FROM embeddings e, {cent} c
+  ) WHERE crn = 1
+)"""
+
+    def recompute(assigned: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cid, pos, round(avg(embedding[pos]), 6) AS m
+    FROM {assigned}, unnest(range(1, {EMB_DIM} + 1)) AS g(pos)
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)"""
+
+    ctes = [f"cent0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_list})"]
+    for i in range(iters):
+        ctes.append(assign(f"cent{i}", f"a{i + 1}"))
+        ctes.append(recompute(f"a{i + 1}", f"cent{i + 1}"))
+    final = f"cent{iters}"
+    cos = _sql_cosine("e.embedding", "c.cvec")
+    ctes.append(
+        f"""ranked AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid) AS crn
+  FROM embeddings e, {final} c
+)"""
+    )
+    ctes.append("assigned AS (SELECT vec_id AS neighbor_id, embedding AS cv, cid FROM ranked WHERE crn = 1)")
+    ctes.append(
+        f"""probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid FROM ranked
+  WHERE crn <= {n_probe} AND vec_id IN (0, 1, 2, 3, 4)
+)"""
+    )
+    scored_cos = _sql_cosine("p.qv", "a.cv")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+scored AS (
+  SELECT p.query_id, a.neighbor_id, {scored_cos} AS sim
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.neighbor_id != p.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
     )
 
 
@@ -908,15 +1035,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle-checkable (round 1 ran threshold=0.9 which yields 0 rows on the
     # synthetic random-vector corpus — an empty result validates nothing; 0.3
     # yields ~150 verified pairs at sf0.01).
-    from .operators.similarity import pairwise_dup_candidates
+    from .operators.similarity import EMB_DIM, pairwise_dup_candidates
 
-    return pairwise_dup_candidates(_read(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4)
+    return pairwise_dup_candidates(
+        _read(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4, expect_dim=EMB_DIM
+    )
 
 
 def _o_dedup_embedding() -> str:
-    from .operators.similarity import signlsh_bucket_sql
+    from .operators.similarity import EMB_DIM, signlsh_bucket_sql
 
-    bucket = signlsh_bucket_sql("embedding", 64, n_planes=4)
+    bucket = signlsh_bucket_sql("embedding", EMB_DIM, n_planes=4)
     cos = _sql_cosine("a.embedding", "b.embedding")
     return f"""
 WITH e AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
@@ -1017,10 +1146,28 @@ FROM sh s JOIN documents d USING (doc_id)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # binary payload plumbing through mapInPandas: rows-only check (no oracle)
+    """Binary payload plumbing through mapInPandas. The payload is
+    ``unhex(md5(text))`` (attach_fake_media), so every output column is
+    arithmetically reconstructible in DuckDB: n_bytes = 16, payload_md5 =
+    md5(hex(payload)) = md5(md5(text)), feature_0 = first digest byte decoded
+    from the leading hex pair — an exact oracle on the mapInPandas plumbing."""
     from .operators.multimodal import attach_fake_media, extract_features
 
     return extract_features(attach_fake_media(_read(spark, sf_dir, "documents")))
+
+
+O_MEDIA_FEATURES = """
+WITH d AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents
+)
+SELECT doc_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+       CAST(16 AS INT) AS n_bytes,
+       md5(hx) AS payload_md5,
+       CAST(16 * (position(substr(hx, 1, 1) IN '0123456789abcdef') - 1)
+          + (position(substr(hx, 2, 1) IN '0123456789abcdef') - 1) AS INT) AS feature_0
+FROM d
+"""
 
 
 def q_media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1540,7 +1687,7 @@ WITH places AS (
   FROM lettered
 )
 SELECT alias,
-       lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm,
+       lower(regexp_replace(alias, '[\\s\\x0b\\xa0 ]|''|-', '', 'g')) AS alias_norm,
        label AS name, letter, lat, lon, uris_joined
 FROM exploded WHERE alias != ''
 """
@@ -1579,7 +1726,7 @@ WITH raw AS (
   FROM raw
 )
 SELECT DISTINCT alias,
-       lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm,
+       lower(regexp_replace(alias, '[\\s\\x0b\\xa0 ]|''|-', '', 'g')) AS alias_norm,
        alias AS name, 'LOC' AS ne_type, uri AS uris_joined
 FROM names WHERE alias != ''
 """
@@ -1775,7 +1922,7 @@ WITH persons AS (
          uri || CASE WHEN ref IS NOT NULL THEN ' ' || ref ELSE '' END AS uris_joined
   FROM filtered
 )
-SELECT alias, lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm, name, letter, uris_joined
+SELECT alias, lower(regexp_replace(alias, '[\\s\\x0b\\xa0 ]|''|-', '', 'g')) AS alias_norm, name, letter, uris_joined
 FROM exploded WHERE alias != ''
 """
 
@@ -1853,7 +2000,7 @@ WITH base AS (
   FROM sharded GROUP BY uri
 )
 SELECT alias,
-       lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm,
+       lower(regexp_replace(alias, '[\\s\\x0b\\xa0 ]|''|-', '', 'g')) AS alias_norm,
        regexp_replace(regexp_replace(trim(replace(accepted_form, '-', ' ')),
                                      '''', ''' ', 'g'), '  ', ' ', 'g') AS name,
        letter,
@@ -1942,7 +2089,7 @@ WITH base AS (
   FROM filtered GROUP BY uri
 )
 SELECT alias,
-       lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm,
+       lower(regexp_replace(alias, '[\\s\\x0b\\xa0 ]|''|-', '', 'g')) AS alias_norm,
        regexp_replace(regexp_replace(trim(replace(label, '-', ' ')),
                                      '''', ''' ', 'g'), '  ', ' ', 'g') AS name,
        letter,
@@ -2050,7 +2197,7 @@ WITH base AS (
   FROM merged
 )
 SELECT alias,
-       lower(regexp_replace(alias, '\\s|''|-', '', 'g')) AS alias_norm,
+       lower(regexp_replace(alias, '[\\s\\x0b\\xa0 ]|''|-', '', 'g')) AS alias_norm,
        CASE WHEN first = '' THEN last ELSE last || ', ' || first END AS name,
        letter,
        array_to_string([uri] || refs, ' ') AS uris_joined
@@ -2129,10 +2276,10 @@ ORACLES = {
     "dedup_ngram_jaccard": O_DEDUP_NGRAM,
     "dedup_embedding": _o_dedup_embedding(),
     "dedup_simhash": O_DEDUP_SIMHASH,
-    # ann_lsh_topk / media_features: engine-specific internals, intentionally
-    # rows-only (no SQL oracle; lsh has a measured-recall test, media decode
-    # is a stubbed codec hook)
+    "media_features": O_MEDIA_FEATURES,
     "ann_cosine_topk": O_ANN_COSINE,
+    "ann_lsh_topk": _o_ann_lsh_topk(),
+    "ann_ivf_trained": _o_ann_ivf_trained(),
     "ann_ivf_topk": O_ANN_IVF,
     "kg_occurrences": O_KG_OCCURRENCES,
     "kg_geo_enrich": O_KG_GEO_ENRICH,

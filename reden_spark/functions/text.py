@@ -17,18 +17,29 @@ SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
 LINKS_TO = "http://kg.test/linksTo"
 
 
+#: The EXPLICIT whitespace class the dictionary join key strips, stated once
+#: per engine so Java regex, Python re and DuckDB RE2 agree by construction
+#: (each engine's bare \s means something different: Java ASCII, Python full
+#: Unicode, RE2 ASCII). Semantic: ASCII whitespace + NBSP (U+00A0) + NNBSP (U+202F), both ubiquitous
+#: in French typography — the reference's Java \s misses both). More exotic
+#: Unicode spaces (thin space U+2009 etc.) are deliberately out of scope and
+#: survive normalization identically in all three engines.
+NORM_STRIP_JAVA = r"[\s\u00a0\u202f]|'|-"  # Java \s = [ \t\n\x0B\f\r]
+NORM_STRIP_PY = "[ \\t\\n\\x0b\\f\\r\\xa0\\u202f]|'|-"
+NORM_STRIP_SQL = "[\\s\\x0b\\xa0 ]|''|-"  # RE2 \s = [\t\n\f\r ]; '' = escaped quote
+
+
 def normalize_mention(col: Column | str) -> Column:
     """lower(strip whitespace/'/-)  — DicoProcessingNEL.replaceNonAlphabeticCharacters
     (DicoProcessingNEL.java:410-415). This is the dictionary join key.
 
-    (?U) makes the JVM regex treat \\s as UNICODE whitespace so it agrees with
-    the Python twin below (Python \\s is Unicode by default): without it a
-    non-breaking space (U+00A0, ubiquitous in French typography) survives in
-    alias_norm on the Spark side but not in the oracle/datagen side, silently
-    splitting the join key between engines. The reference's Java \\s is
-    ASCII-only — stripping NBSP too is a deliberate, documented improvement."""
+    Uses :data:`NORM_STRIP_JAVA` — an explicit character class (ASCII
+    whitespace + NBSP) mirrored verbatim by the Python twin and every DuckDB
+    oracle, so a non-breaking space can never split the join key between
+    engines. Stripping NBSP at all is a deliberate, documented improvement
+    over the reference's ASCII-only Java \\s."""
     return F.lower(
-        F.regexp_replace(F.col(col) if isinstance(col, str) else col, r"(?U)\s|'|-", "")
+        F.regexp_replace(F.col(col) if isinstance(col, str) else col, NORM_STRIP_JAVA, "")
     )
 
 
@@ -36,7 +47,12 @@ def normalize_mention_py(s: str) -> str:
     """Python twin of :func:`normalize_mention` (oracle/datagen use it)."""
     import re
 
-    return re.sub(r"\s|'|-", "", s).lower()
+    return re.sub(NORM_STRIP_PY, "", s).lower()
+
+
+def normalize_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_mention` for oracle SQL strings."""
+    return f"lower(regexp_replace({expr}, '{NORM_STRIP_SQL}', '', 'g'))"
 
 
 def decompose(col: Column | str) -> Column:

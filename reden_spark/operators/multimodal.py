@@ -46,7 +46,7 @@ FEATURE_SCHEMA = StructType(
         StructField("doc_id", LongType(), False),
         StructField("media_type", StringType(), True),
         StructField("n_bytes", IntegerType(), True),
-        StructField("payload_md5", StringType(), True),
+        StructField("payload_md5", StringType(), True),  # md5 of lowercase-hex(payload)
         StructField("feature_0", IntegerType(), True),  # first byte (fake feature)
     ]
 )
@@ -83,7 +83,12 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas — the production shape for
     per-item media processing (decode -> features) without ever collecting binary
     payloads to the driver. Batch sizing is the session's
-    spark.sql.execution.arrow.maxRecordsPerBatch."""
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+
+    ``payload_md5`` fingerprints the payload as md5 of its lowercase-hex encoding
+    (not md5 of the raw bytes): the value is computed worker-side from the binary
+    column, and the hex detour makes it expressible in engines whose md5 only
+    accepts strings — which is what gives this query an exact DuckDB oracle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -95,7 +100,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": [d[0] for d in decoded],
-                    "payload_md5": [hashlib.md5(p or b"").hexdigest() for p in pdf["payload"]],
+                    "payload_md5": [
+                        hashlib.md5(bytes(p or b"").hex().encode()).hexdigest()
+                        for p in pdf["payload"]
+                    ],
                     "feature_0": [d[1] for d in decoded],
                 }
             )

@@ -20,6 +20,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
+#: Embedding width of the synthetic fixtures (TESTDATA.md `embeddings.parquet`).
+#: Shared by the Spark queries and their DuckDB oracle twins so hyperplane
+#: generation (dim-dependent RandomState fill) can never silently diverge
+#: between engines on a different-width fixture.
+EMB_DIM = 64
+
 
 def _cosine(a, b):
     dot = F.aggregate(
@@ -72,12 +78,29 @@ def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 7):
 
 
 def lsh_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = 6, seed: int = 7
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 7,
+    bucketer: str = "codegen",
 ) -> DataFrame:
-    """Approximate top-k: score only within the query's hyperplane-sign bucket."""
+    """Approximate top-k: score only within the query's hyperplane-sign bucket.
+
+    ``bucketer='codegen'`` (default) computes buckets with integer-valued
+    hyperplanes as pure Column expressions (:func:`signlsh_bucket_col`) — stays
+    in whole-stage codegen AND is exactly reproducible in DuckDB, which is what
+    gives this query a full value-hash oracle. ``bucketer='udf'`` keeps the
+    Arrow-batched numpy float-hyperplane variant for very high dim x n_planes
+    where a vectorized matmul beats per-plane fold expressions."""
     dim = len(embeddings.select("embedding").first()[0])
-    bucket = lsh_bucket_udf(dim, n_planes, seed)
-    e = embeddings.withColumn("bucket", bucket(F.col("embedding")))
+    if bucketer == "codegen":
+        e = embeddings.withColumn(
+            "bucket", signlsh_bucket_col(F.col("embedding"), dim, n_planes, seed)
+        )
+    else:
+        bucket = lsh_bucket_udf(dim, n_planes, seed)
+        e = embeddings.withColumn("bucket", bucket(F.col("embedding")))
     q = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
     )
@@ -122,6 +145,12 @@ def train_centroids(
     centroid table (KBs) round-trips. No RNG anywhere; init = lowest vec_ids,
     ties in assignment break toward the lower cid, so results are stable
     across runs and partitionings.
+
+    Each iteration's per-cell means are **quantized to 6 decimals** (the same
+    determinism trick as eigenvector_scores): float sum-order drift between
+    engines/partitionings lives ~10 ulp below the quantum, so the trained
+    centroids — and therefore every downstream assignment — are exactly
+    reproducible in DuckDB, giving `ann_ivf_trained` a full value-hash oracle.
     """
     cent = (
         embeddings.orderBy("vec_id")
@@ -133,7 +162,7 @@ def train_centroids(
         means = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 6).alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.col("pm.m").alias("cvec"))
@@ -142,7 +171,9 @@ def train_centroids(
         spark = embeddings.sparkSession
         cent = spark.createDataFrame(
             [(int(r.cid), [float(x) for x in r.cvec]) for r in rows],
-            "cid int, cvec array<float>",
+            # doubles, not floats: float32 re-quantization would undo the
+            # 6-decimal rounding that makes the centroids engine-portable
+            "cid int, cvec array<double>",
         )
     return cent
 
@@ -234,13 +265,27 @@ def signlsh_bucket_sql(expr: str, dim: int, n_planes: int = 4, seed: int = 7) ->
 
 
 def pairwise_dup_candidates(
-    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 4, seed: int = 7
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    seed: int = 7,
+    expect_dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH blocking (the
     embedding twin of dedup.minhash_lsh_pairs): only same-bucket pairs are
     scored, then verified with the exact cosine. Bucketing and verification
-    are both pure Column expressions, mirrored 1:1 by the DuckDB oracle."""
+    are both pure Column expressions, mirrored 1:1 by the DuckDB oracle.
+
+    ``expect_dim``: when given (the driver contract passes :data:`EMB_DIM`),
+    raise loudly if the data's width differs — int_hyperplanes' RandomState
+    fill is dim-dependent, so a silent width mismatch would generate entirely
+    different hyperplanes on the Spark and oracle sides."""
     dim = len(embeddings.select("embedding").first()[0])
+    if expect_dim is not None and dim != expect_dim:
+        raise ValueError(
+            f"embedding width {dim} != expected {expect_dim}; the SQL oracle's "
+            "hyperplanes are generated for the expected width — update EMB_DIM"
+        )
     e = embeddings.withColumn(
         "bucket", signlsh_bucket_col(F.col("embedding"), dim, n_planes, seed)
     )

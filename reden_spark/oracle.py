@@ -258,21 +258,33 @@ def _sym_adj(edges: dict[tuple[str, str], tuple[str, float]]) -> dict[str, set[s
 EIGEN_ITERS = 12
 
 
+def _round_half_up(x: float, decimals: int = 12) -> float:
+    """Quantize like Spark's F.round / Java BigDecimal HALF_UP (Python's builtin
+    round() is banker's HALF_EVEN — a value landing exactly on a half-way point
+    would diverge between the engines). repr(x) mirrors BigDecimal.valueOf's
+    shortest-decimal conversion of the double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-decimals)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def eigenvector_centrality(
     vertices: set[str], edges: dict[tuple[str, str], tuple[str, float]], iters: int = EIGEN_ITERS
 ) -> dict[str, float]:
-    """Unweighted symmetric power iteration, max-normalized and rounded to 12
-    decimals per round (the rounding pins cross-engine float determinism: the
-    Spark twin sums neighbor scores in arbitrary order, so both sides quantize
-    after each normalization). Deterministic spec for the reference's
-    EigenvectorCentrality (CentralityHandler.java:147-148) — argmax semantics,
-    not bit-level jgrapht-sna parity."""
+    """Unweighted symmetric power iteration, max-normalized and rounded HALF_UP
+    to 12 decimals per round (the rounding pins cross-engine float determinism:
+    the Spark twin sums neighbor scores in arbitrary order and quantizes with
+    F.round, whose HALF_UP mode this oracle matches exactly). Deterministic
+    spec for the reference's EigenvectorCentrality
+    (CentralityHandler.java:147-148) — argmax semantics, not bit-level
+    jgrapht-sna parity."""
     adj = _sym_adj(edges)
     x = {v: 1.0 for v in vertices}
     for _ in range(iters):
         nx = {v: sum(x[n] for n in sorted(adj.get(v, ()))) for v in vertices}
         mx = max(nx.values(), default=0.0)
-        x = {v: round(nx[v] / mx, 12) if mx > 0 else 0.0 for v in vertices}
+        x = {v: _round_half_up(nx[v] / mx) if mx > 0 else 0.0 for v in vertices}
     return x
 
 

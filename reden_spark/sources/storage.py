@@ -104,9 +104,13 @@ def read_stage(spark: SparkSession, out_dir: str | Path, name: str) -> DataFrame
     # a stage whose data legitimately contains a 'bucket' column keeps it
     if "bucket" in df.columns:
         try:
-            bucketed = bool(read_manifest(out_dir, name).get("bucketed"))
+            # default True when the key is MISSING: pre-flag manifests never
+            # recorded 'bucketed', and under them only bucketed stages carried
+            # the synthetic column. False only when a manifest explicitly
+            # recorded an unbucketed write (user data owns the column).
+            bucketed = bool(read_manifest(out_dir, name).get("bucketed", True))
         except (OSError, json.JSONDecodeError):
-            bucketed = True  # pre-flag manifests: only bucketed stages had the column
+            bucketed = True
         if bucketed:
             df = df.drop("bucket")
     return df
