@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .checkpointing import checkpoint
 from .functions.text import SAME_AS
 from .operators.candidates import conversation_cases, generate_candidates
 from .operators.canonicalize import connected_components, materialize_triples, sameas_edge_frame
@@ -239,9 +240,9 @@ def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dico = derive_dico(spark, sf_dir)
     kb = derive_kb_edges(spark, sf_dir)
     rels = empty_rel_weights(spark)
-    mentions = detect_mentions(transcripts, terms).localCheckpoint(eager=True)
-    candidates = generate_candidates(mentions, dico).localCheckpoint(eager=True)
-    cases = conversation_cases(mentions, candidates).localCheckpoint(eager=True)
+    mentions = checkpoint(detect_mentions(transcripts, terms))
+    candidates = checkpoint(generate_candidates(mentions, dico))
+    cases = checkpoint(conversation_cases(mentions, candidates))
     stack = {
         "transcripts": transcripts,
         "dico": dico,
@@ -570,7 +571,7 @@ def _links(spark: SparkSession, sf_dir: str, grouped: bool = False) -> DataFrame
         links = disambiguate_relational(
             s["mentions"], s["candidates"], s["kb_edges"], s["rel_weights"], s["cases"], CFG
         )
-    links = links.localCheckpoint(eager=True)
+    links = checkpoint(links)
     _LINKS_CACHE[key] = links
     return links
 

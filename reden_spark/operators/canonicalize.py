@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import checkpoint
 from ..functions.text import LINKS_TO, SAME_AS
 
 
@@ -34,7 +35,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     # adjacency including self so labels persist: (v, neighbor)
     adj = sym.unionByName(sym.select(F.col("a"), F.col("a").alias("b"))).distinct()
     labels = adj.groupBy("a").agg(F.min("b").alias("label")).withColumnRenamed("a", "v")
-    labels = labels.localCheckpoint(eager=True)
+    labels = checkpoint(labels)
 
     converged = False
     for _ in range(max_iter):
@@ -60,7 +61,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             )
             .select("v", F.least("label", F.coalesce("ll", "label")).alias("label"))
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped = checkpoint(jumped)
         changed = (
             jumped.withColumnRenamed("label", "nl")
             .join(labels, "v")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import checkpoint
+
 
 def norm_text(col):
     """lowercase, collapse non-word runs to single spaces, trim."""
@@ -136,7 +138,7 @@ def minhash_lsh_pairs(
     # join); cut lineage EAGERLY so the digest pass runs once — a lazy
     # checkpoint races under AQE's concurrent stage submission and each
     # consumer re-executes the whole signature computation
-    sigs = minhash_signatures(docs, n_hashes, shingle_n).localCheckpoint(eager=True)
+    sigs = checkpoint(minhash_signatures(docs, n_hashes, shingle_n))
     banded = sigs.select(
         "doc_id",
         "shingles",
@@ -218,7 +220,7 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 
         _fan_out(docs)
         .select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .localCheckpoint(eager=True)  # consumed by blocking + both join sides; eager: lazy races under AQE
+        .transform(checkpoint)  # consumed by blocking + both join sides; eager: lazy races under AQE
     )
     keyed = sh.select("doc_id", F.explode(_min_shingle_band_keys()).alias("block"))
     pairs = (

@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import checkpoint
 from ..functions.text import SAME_AS, decompose, encode_last_segment, last_member_with_prefix
 
 
@@ -184,7 +185,7 @@ def pruned_edges(
         # eager: colored feeds 3 subtrees of one query (anti-join, bridge join,
         # survivors union) — lazy checkpoints race under AQE's concurrent
         # stage submission and re-execute the explode per consumer
-        colored = colored_nodes(candidates, cfg, members=members).localCheckpoint(eager=True)
+        colored = checkpoint(colored_nodes(candidates, cfg, members=members))
     # inv is consumed once (bridge_counts) — no checkpoint, no barrier
     inv = inverted_index(candidates, members=members)
 
@@ -206,7 +207,7 @@ def pruned_edges(
     survivors = (
         colored.unionByName(bridge_counts.filter(F.col("n_mentions") >= 2).select("conv_id", "v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint)
     )
 
     return (
@@ -255,9 +256,9 @@ def eigenvector_scores(pruned: DataFrame, iters: int | None = None) -> DataFrame
         pruned.select("conv_id", F.col("src").alias("v"), F.col("dst").alias("n"))
         .unionByName(pruned.select("conv_id", F.col("dst").alias("v"), F.col("src").alias("n")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint)
     )
-    verts = sym.select("conv_id", "v").distinct().localCheckpoint(eager=True)
+    verts = checkpoint(sym.select("conv_id", "v").distinct())
     x = verts.withColumn("score", F.lit(1.0))
     for _ in range(iters):
         nbr = (
@@ -278,7 +279,7 @@ def eigenvector_scores(pruned: DataFrame, iters: int | None = None) -> DataFrame
                 .otherwise(F.lit(0.0))
                 .alias("score"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda d: checkpoint(d, eager=False))
         )
     return x.select("conv_id", "v", F.col("score").alias("degree"))
 
@@ -409,12 +410,10 @@ def disambiguate(
     # upstream before any of them has materialized it (observed as doubled
     # input-bytes in the event log). These frames are conversation-grain
     # (tiny vs the turn table), so the serialization point is cheap.
-    members_ok = _group_members(cand_ok).localCheckpoint(eager=True)
-    colored_ok = colored_nodes(cand_ok, cfg, members=members_ok).localCheckpoint(eager=True)
+    members_ok = checkpoint(_group_members(cand_ok))
+    colored_ok = checkpoint(colored_nodes(cand_ok, cfg, members=members_ok))
 
-    edges = fuse_edges(cand_ok, kb_edges, rel_weights, cfg, members=members_ok).localCheckpoint(
-        eager=True
-    )
+    edges = checkpoint(fuse_edges(cand_ok, kb_edges, rel_weights, cfg, members=members_ok))
     scores = centrality(edges, cand_ok, cfg, members=members_ok, colored=colored_ok)
     graph_chosen = choose_links(
         cand_ok, scores, cfg, members=members_ok, colored=colored_ok

@@ -38,11 +38,27 @@ def run_pipeline(
     from_stage: str | None = None,
     use_grouped: bool = False,
     n_buckets: int = 32,
+    checkpoint_mode: str | None = None,
 ) -> dict[str, DataFrame]:
-    """Run (or resume) the pipeline; returns the stage DataFrames."""
+    """Run (or resume) the pipeline; returns the stage DataFrames.
+
+    ``checkpoint_mode``: local|reliable|persist (checkpointing.py). 'reliable'
+    routes the intra-stage shared-subtree materializations through
+    fault-tolerant `df.checkpoint` — the multi-executor-cluster setting, where
+    a lost executor must not truncate lineage mid-stage. When no checkpoint
+    dir is configured yet, one is created under <out_dir>/.spark_checkpoints
+    (point spark.sparkContext.setCheckpointDir at DFS storage on a real
+    cluster before calling for a different location)."""
     data = Path(data_dir)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+
+    if checkpoint_mode is not None:
+        from ..checkpointing import set_checkpoint_mode
+
+        set_checkpoint_mode(checkpoint_mode)
+        if checkpoint_mode == "reliable" and spark.sparkContext._jsc.sc().checkpointDir().isEmpty():
+            spark.sparkContext.setCheckpointDir(str(out / ".spark_checkpoints"))
 
     def src(name: str) -> DataFrame:
         return spark.read.parquet(str(data / f"{name}.parquet"))
@@ -204,6 +220,13 @@ def main() -> None:
         help="restrict sameAs expansion to objects with this prefix (GraphHandlerNEL.java:143-167)",
     )
     ap.add_argument(
+        "--checkpoint-mode",
+        choices=["local", "reliable", "persist"],
+        default=None,
+        help="intra-stage materialization mode (checkpointing.py): local blocks (default), "
+        "fault-tolerant df.checkpoint (multi-executor clusters), or lineage-keeping persist",
+    )
+    ap.add_argument(
         "--no-broadcast-uri-map",
         action="store_true",
         help="let AQE size the triple-canonicalization join instead of forcing a broadcast "
@@ -220,7 +243,9 @@ def main() -> None:
         broadcast_uri_map=not a.no_broadcast_uri_map,
     )
     t0 = time.time()
-    dfs = run_pipeline(spark, a.data_dir, a.out_dir, cfg, a.from_stage, a.grouped)
+    dfs = run_pipeline(
+        spark, a.data_dir, a.out_dir, cfg, a.from_stage, a.grouped, checkpoint_mode=a.checkpoint_mode
+    )
     n_links = dfs["links"].count()
     n_triples = dfs["triples"].count()
     print(json.dumps({"elapsed_sec": time.time() - t0, "links": n_links, "triples": n_triples}))

@@ -35,6 +35,41 @@ def test_resume_from_each_stage(spark, fixture_dir, tmp_path):
     assert storage.read_manifest(out, "mentions")["written_at"] == manifests["mentions"]
 
 
+def test_reliable_checkpoint_mode_same_output(spark, fixture_dir, tmp_path):
+    """The fault-tolerant checkpoint mode (df.checkpoint to a checkpoint dir —
+    the multi-executor-cluster setting where localCheckpoint blocks would die
+    with a lost executor) must produce byte-identical triples. Also pins that
+    the mode actually engaged: the checkpoint dir is populated."""
+    from reden_spark import checkpointing
+
+    base = run_pipeline(spark, fixture_dir, tmp_path / "kg_local", CFG)
+    baseline = _triples(base)
+    try:
+        rel = run_pipeline(
+            spark, fixture_dir, tmp_path / "kg_rel", CFG, checkpoint_mode="reliable"
+        )
+        assert _triples(rel) == baseline
+        ckdir = tmp_path / "kg_rel" / ".spark_checkpoints"
+        assert any(ckdir.rglob("*")), "reliable mode never wrote a checkpoint block"
+    finally:
+        checkpointing.set_checkpoint_mode(None)
+        # leave the session's checkpoint dir harmlessly set (session-scoped)
+
+
+def test_persist_checkpoint_mode_same_output(spark, fixture_dir, tmp_path):
+    """persist mode (full lineage kept, recomputable after executor loss)."""
+    from reden_spark import checkpointing
+
+    base = run_pipeline(spark, fixture_dir, tmp_path / "kg_local2", CFG)
+    try:
+        per = run_pipeline(
+            spark, fixture_dir, tmp_path / "kg_persist", CFG, checkpoint_mode="persist"
+        )
+        assert _triples(per) == _triples(base)
+    finally:
+        checkpointing.set_checkpoint_mode(None)
+
+
 def test_lineage_counters(spark, fixture_dir, tmp_path):
     out = tmp_path / "kg_out2"
     run_pipeline(spark, fixture_dir, out, CFG)
