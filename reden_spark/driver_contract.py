@@ -612,6 +612,40 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_KG_TRIPLES = SQL_PREFIX + "SELECT subj, pred, obj FROM triples"
 
 
+def q_kg_preannotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline SemiAutomaticTEIAnnotation (SemiAutomaticTEIAnnotation.java:44-110):
+    per gold mention, ref_new = sorted equivalence-class URIs in the base KB
+    (sameAs closure + dico co-membership replaces the sameas.org API)."""
+    from .operators.preannotate import preannotate
+
+    s = _kg_stack(spark, sf_dir)
+    gold = derive_gold(spark, sf_dir)
+    return preannotate(gold, s["kb_edges"], s["dico"], BASE)
+
+
+O_KG_PREANNOTATE = (
+    SQL_PREFIX
+    + f""",
+pg AS (
+  SELECT g.*, coalesce(c.canonical, g.gold_uri) AS comp
+  FROM gold g LEFT JOIN canon c ON c.uri = g.gold_uri
+),
+eqm AS (SELECT canonical AS comp, uri FROM canon),
+pa AS (
+  SELECT conv_id, turn_idx, occ_idx, mention, gold_uri,
+         list_sort(list_filter(
+           list_distinct(coalesce(list(uri), []) || [gold_uri]),
+           x -> x IS NOT NULL AND contains(x, '{BASE}'))) AS eq
+  FROM pg LEFT JOIN eqm USING (comp)
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT conv_id, turn_idx, occ_idx, mention, gold_uri,
+       CASE WHEN len(eq) > 0 THEN array_to_string(eq, ' ') END AS ref_new
+FROM pa
+"""
+)
+
+
 def q_kg_correct_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-mention count of correctly-linked occurrences
     (ResultsAndEvaluationNEL.java:295-301,334-337 — the -resCorrectMentions sink)."""
@@ -2235,6 +2269,7 @@ QUERIES = {
     "kg_score_extract": q_kg_score_extract,
     "rel_lifespan": q_rel_lifespan,
     "kg_correct_mentions": q_kg_correct_mentions,
+    "kg_preannotate": q_kg_preannotate,
     "kg_eval_verdicts": q_kg_eval_verdicts,
     "kg_author_enrich": q_kg_author_enrich,
     "kg_annotated_refs": q_kg_annotated_refs,
@@ -2289,6 +2324,7 @@ ORACLES = {
     "kg_score_extract": O_KG_SCORE_EXTRACT,
     "rel_lifespan": O_REL_LIFESPAN,
     "kg_correct_mentions": O_KG_CORRECT_MENTIONS,
+    "kg_preannotate": O_KG_PREANNOTATE,
     "kg_eval_verdicts": O_KG_EVAL_VERDICTS,
     "kg_author_enrich": O_KG_AUTHOR_ENRICH,
     "kg_annotated_refs": O_KG_ANNOTATED_REFS,

@@ -118,6 +118,7 @@ def materialize_triples(
     dico: DataFrame,
     sameas_pred: str = SAME_AS,
     broadcast_uri_map: bool = True,
+    bucket_into: int | None = None,
 ) -> DataFrame:
     """LINKS -> output KG (subj, pred, obj):
 
@@ -133,6 +134,17 @@ def materialize_triples(
     `chosen_uris` values are themselves huge (10^8-entity KBs) should pass
     False and let AQE pick broadcast-vs-shuffle from the measured size, the
     same escape hatch `generate_candidates(broadcast_dico=...)` exposes.
+
+    ``bucket_into=n`` attaches the output table's `bucket` partition column
+    WITHOUT the full-output shuffle the generic bucketed write would pay
+    (round-2 profile: 310 MB, the largest remaining turn-grain movement):
+    mention-link triples get bucket = pmod(murmur3(conv_id), n) — when `links`
+    was checkpointed as an n-bucket table on conv_id, every row already SITS
+    in that partition (only a map-side broadcast join separates them), so the
+    partitioned write emits one file per task with zero data movement, and
+    co-locates each conversation's links with its checkpoint bucket. Entity
+    passthrough triples (entity-grain, orders smaller) bucket on
+    pmod(murmur3(subj), n) and pay their own small repartition.
     """
     canon = connected_components(sameas_edge_frame(kb_edges, dico, sameas_pred))
 
@@ -158,13 +170,16 @@ def materialize_triples(
         .join(F.broadcast(uri_map) if broadcast_uri_map else uri_map, "chosen_uris")
         .select("conv_id", "turn_idx", "occ_idx", "entity")
     )
-    link_triples = canon_chosen.select(
+    lt_cols = [
         F.concat(F.lit("urn:mention:"), "conv_id", F.lit(":"), "turn_idx", F.lit(":"), "occ_idx").alias(
             "subj"
         ),
         F.lit(LINKS_TO).alias("pred"),
         F.col("entity").alias("obj"),
-    )
+    ]
+    if bucket_into is not None:
+        lt_cols.append(F.pmod(F.hash("conv_id"), F.lit(bucket_into)).cast("int").alias("bucket"))
+    link_triples = canon_chosen.select(*lt_cols)
 
     entities = canon_chosen.select(F.col("entity")).distinct()
     kb = kb_edges.filter(F.col("pred") != sameas_pred)
@@ -181,4 +196,9 @@ def materialize_triples(
     # encodes the key) and their urn:mention: subjects are disjoint from KB
     # subjects — dedupe only the passthrough side (canonical rewrite can merge
     # rows), sparing the full-output shuffle.
-    return link_triples.unionByName(passthrough.distinct())
+    passthrough = passthrough.distinct()
+    if bucket_into is not None:
+        passthrough = passthrough.withColumn(
+            "bucket", F.pmod(F.hash("subj"), F.lit(bucket_into)).cast("int")
+        ).repartition(bucket_into, F.col("bucket"))
+    return link_triples.unionByName(passthrough)

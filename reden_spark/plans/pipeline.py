@@ -39,8 +39,16 @@ def run_pipeline(
     use_grouped: bool = False,
     n_buckets: int = 32,
     checkpoint_mode: str | None = None,
+    layout: str = "bucketed",
 ) -> dict[str, DataFrame]:
     """Run (or resume) the pipeline; returns the stage DataFrames.
+
+    ``layout``: 'bucketed' (default) checkpoints turn-grain stages as
+    conv_id-bucketed Spark tables so stage boundaries reuse partitioning
+    (see the stage comments below); 'plain' is the round-2 layout (flat
+    parquet checkpoints, triples bucketed by a full xxhash(subj) shuffle) —
+    kept for A/B benchmarking on a noisy shared host, where only an
+    interleaved comparison under identical co-tenant load is meaningful.
 
     ``checkpoint_mode``: local|reliable|persist (checkpointing.py). 'reliable'
     routes the intra-stage shared-subtree materializations through
@@ -61,7 +69,18 @@ def run_pipeline(
             spark.sparkContext.setCheckpointDir(str(out / ".spark_checkpoints"))
 
     def src(name: str) -> DataFrame:
+        # An input table shipped with a storage manifest (e.g. transcripts
+        # rewritten as a conv_id-bucketed table — the parquet stand-in for an
+        # Iceberg bucket(conv_id) partition transform at ingest) is read
+        # through the catalog so its partitioning reaches the planner.
+        if storage.stage_exists(data, f"{name}.parquet"):
+            return storage.read_stage(spark, data, f"{name}.parquet")
         return spark.read.parquet(str(data / f"{name}.parquet"))
+
+    def src_bucketing(name: str) -> dict | None:
+        if storage.stage_exists(data, f"{name}.parquet"):
+            return storage.read_manifest(data, f"{name}.parquet").get("spark_bucketed")
+        return None
 
     if from_stage is not None:
         idx = STAGES.index(from_stage)
@@ -69,7 +88,7 @@ def run_pipeline(
 
     timings: dict[str, float] = {}
 
-    def stage(name: str, compute, bucket_col: str | None):
+    def stage(name: str, compute, bucket_col: str | None, **layout):
         if storage.stage_exists(out, name):
             return storage.read_stage(spark, out, name)
         # job-group tag: Spark stages/tasks of this pipeline stage are
@@ -79,7 +98,7 @@ def run_pipeline(
         t0 = time.time()
         try:
             df = compute()
-            storage.write_stage(df, out, name, bucket_col=bucket_col, n_buckets=n_buckets)
+            storage.write_stage(df, out, name, bucket_col=bucket_col, n_buckets=n_buckets, **layout)
         finally:
             spark.sparkContext.setJobGroup("", "")
         timings[name] = time.time() - t0
@@ -126,21 +145,60 @@ def run_pipeline(
     # (arbitrarily larger or smaller tables) plan splits from their own default.
     try:
         transcripts = src("transcripts")
-        if n_row_groups < min_parallelism and transcripts.rdd.getNumPartitions() < min_parallelism:
+        in_bucketing = src_bucketing("transcripts")
+        if in_bucketing is None and (
+            n_row_groups < min_parallelism
+            and transcripts.rdd.getNumPartitions() < min_parallelism
+        ):
             transcripts = transcripts.repartition(min_parallelism)
         terms = src("mention_terms")
         dico = src("dico")
         kb_edges = src("kb_edges")
         rel_weights = src("rel_weights")
 
-        # Intermediate checkpoints are unbucketed: a plain parquet read cannot
-        # reuse bucket layout for shuffle elision anyway (that needs the table
-        # format / metastore, i.e. the Iceberg deployment), so a per-stage bucket
-        # repartition would buy nothing but an extra full shuffle. Lineage counters
-        # fall back to per-file. The final triples table stays bucketed — it is the
-        # queryable product (north rule: partitioned output), not a resume point.
-        mentions = stage("mentions", lambda: detect_mentions(transcripts, terms), None)
-        candidates = stage("candidates", lambda: generate_candidates(mentions, dico), None)
+        # Turn-grain checkpoints (mentions, candidates, links) are Spark-native
+        # BUCKETED TABLES on conv_id (storage.write_stage spark_bucket_col):
+        # their scans report HashPartitioning(conv_id, n_buckets), so every
+        # downstream distinct/groupBy/join whose keys contain conv_id reuses
+        # the stage boundary's partitioning instead of re-shuffling — the
+        # round-2 profile's 237 MB links-stage and 310 MB triples-stage
+        # turn-grain shuffles collapse to the small (conversation-grain) join
+        # sides. Cost: ONE compact shuffle at the mentions write (the rows the
+        # links stage used to shuffle twice); candidates and links inherit the
+        # partitioning through narrow ops, so their bucketed writes are
+        # shuffle-free (pre_shuffle=False). This is the parquet+session-catalog
+        # restatement of what an Iceberg bucket(conv_id) partition transform
+        # provides natively. Trade-offs at 100 TB: scan parallelism of a
+        # bucketed read is one task per bucket (raise n_buckets with the
+        # cluster), and a skewed conversation stays in one bucket task (the
+        # join is linear per conversation; AQE skew-split does not apply to the
+        # unshuffled side — documented in BENCH.md).
+        # When the INPUT transcripts table is itself bucketed on conv_id (the
+        # production Iceberg layout: bucket(conv_id) applied at ingest, paid
+        # once per corpus rather than once per run), detection — a pure map —
+        # inherits the partitioning and the mentions checkpoint write is
+        # completely shuffle-free; the bucket count follows the input's.
+        # Unbucketed inputs (the driver's raw testdata) pay one compact
+        # repartition here instead — still strictly less movement than the
+        # round-2 layout, which re-shuffled the same rows in the links stage.
+        if in_bucketing is not None and in_bucketing.get("col") == "conv_id":
+            mentions_layout = {"pre_shuffle": False}
+            n_buckets = int(in_bucketing["n"])
+        else:
+            mentions_layout = {"pre_shuffle": True}
+        ckpt_bucketing = {"spark_bucket_col": "conv_id"} if layout == "bucketed" else {}
+        mentions = stage(
+            "mentions",
+            lambda: detect_mentions(transcripts, terms),
+            None,
+            **(ckpt_bucketing | mentions_layout if ckpt_bucketing else {}),
+        )
+        candidates = stage(
+            "candidates",
+            lambda: generate_candidates(mentions, dico),
+            None,
+            **(ckpt_bucketing | {"pre_shuffle": False} if ckpt_bucketing else {}),
+        )
 
         def compute_links() -> DataFrame:
             cases = conversation_cases(mentions, candidates)
@@ -150,14 +208,39 @@ def run_pipeline(
                 return disambiguate_grouped(mentions, candidates, kb_edges, rel_weights, cases, cfg)
             return disambiguate(mentions, candidates, kb_edges, rel_weights, cases, cfg)
 
-        links = stage("links", compute_links, None)
-        triples = stage(
-            "triples",
-            lambda: materialize_triples(
-                links, kb_edges, dico, cfg.sameas_pred, broadcast_uri_map=cfg.broadcast_uri_map
-            ),
-            "subj",
+        links = stage(
+            "links",
+            compute_links,
+            None,
+            **(ckpt_bucketing | {"pre_shuffle": False} if ckpt_bucketing else {}),
         )
+        # The product table keeps the hive bucket=N layout (north rule:
+        # partitioned output readers can prune), but the bucket ids come from
+        # materialize_triples(bucket_into=...): mention triples land in their
+        # conversation's links-checkpoint bucket (zero shuffle), entity
+        # passthrough triples hash on subj (small repartition).
+        if layout == "bucketed":
+            triples = stage(
+                "triples",
+                lambda: materialize_triples(
+                    links,
+                    kb_edges,
+                    dico,
+                    cfg.sameas_pred,
+                    broadcast_uri_map=cfg.broadcast_uri_map,
+                    bucket_into=n_buckets,
+                ),
+                None,
+                prebucketed=True,
+            )
+        else:
+            triples = stage(
+                "triples",
+                lambda: materialize_triples(
+                    links, kb_edges, dico, cfg.sameas_pred, broadcast_uri_map=cfg.broadcast_uri_map
+                ),
+                "subj",
+            )
 
         result = {
             "mentions": mentions,
@@ -220,6 +303,12 @@ def main() -> None:
         help="restrict sameAs expansion to objects with this prefix (GraphHandlerNEL.java:143-167)",
     )
     ap.add_argument(
+        "--properties",
+        default=None,
+        help="reference-shaped config.properties file (MainNELApp.java:105-123); "
+        "maps the 16 keys onto NELConfig, logs dropped knobs; explicit CLI flags win",
+    )
+    ap.add_argument(
         "--checkpoint-mode",
         choices=["local", "reliable", "persist"],
         default=None,
@@ -235,13 +324,33 @@ def main() -> None:
     a = ap.parse_args()
 
     spark = get_spark("reden-pipeline", master=a.master or os.environ.get("SPARK_MASTER"))
-    cfg = NELConfig(
-        base_prefix=a.base_prefix,
-        preferred_uri=a.preferred_uri,
-        centrality=a.centrality,
-        crawl_sameas=a.crawl_sameas,
-        broadcast_uri_map=not a.no_broadcast_uri_map,
-    )
+    if a.properties:
+        from dataclasses import replace
+
+        from reden_spark.plans.properties import nel_config_from_properties
+
+        cfg, extras, dropped = nel_config_from_properties(a.properties)
+        for key, reason in sorted(dropped.items()):
+            print(f"properties: dropping '{key}' — {reason}")
+        cfg = replace(cfg, broadcast_uri_map=not a.no_broadcast_uri_map)
+        # explicit (non-default) CLI flags win over file values
+        cli = {
+            "base_prefix": (a.base_prefix, BASE_PREFIX),
+            "preferred_uri": (a.preferred_uri, BASE_PREFIX),
+            "centrality": (a.centrality, "DegreeCentrality"),
+            "crawl_sameas": (a.crawl_sameas, "ALL"),
+        }
+        for field, (arg_val, default) in cli.items():
+            if arg_val != default:
+                cfg = replace(cfg, **{field: arg_val})
+    else:
+        cfg = NELConfig(
+            base_prefix=a.base_prefix,
+            preferred_uri=a.preferred_uri,
+            centrality=a.centrality,
+            crawl_sameas=a.crawl_sameas,
+            broadcast_uri_map=not a.no_broadcast_uri_map,
+        )
     t0 = time.time()
     dfs = run_pipeline(
         spark, a.data_dir, a.out_dir, cfg, a.from_stage, a.grouped, checkpoint_mode=a.checkpoint_mode

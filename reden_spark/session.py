@@ -131,6 +131,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Bucketed stage checkpoints are clustered on conv_id only; joins on
+        # (conv_id, mention) must accept the subset partitioning so the
+        # turn-grain bucketed side is NOT re-shuffled (only the small side
+        # moves). Default true would shuffle both sides on the full key.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", _default_driver_mem())
         .config("spark.local.dir", _scratch_dir())

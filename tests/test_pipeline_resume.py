@@ -70,6 +70,38 @@ def test_persist_checkpoint_mode_same_output(spark, fixture_dir, tmp_path):
         checkpointing.set_checkpoint_mode(None)
 
 
+def test_bucketed_input_and_plain_layout_same_output(spark, fixture_dir, tmp_path):
+    """Byte-identical triples across (a) the round-2 'plain' checkpoint layout,
+    (b) the bucketed layout over a plain input, and (c) the bucketed layout
+    over a conv_id-bucketed INPUT table (the production ingest layout, where
+    the mentions write becomes fully shuffle-free). Also pins that the
+    bucketed-input mentions checkpoint did not fan out into tasks x buckets
+    files."""
+    import shutil
+
+    from reden_spark.sources import storage
+
+    base = run_pipeline(spark, fixture_dir, tmp_path / "kg_plain", CFG, layout="plain")
+    baseline = _triples(base)
+
+    buck = run_pipeline(spark, fixture_dir, tmp_path / "kg_buck", CFG)
+    assert _triples(buck) == baseline
+
+    # bucketed-input corpus: copy the fixture, rewrite transcripts bucketed
+    data2 = tmp_path / "fixture_bucketed"
+    shutil.copytree(fixture_dir, data2)
+    df = spark.read.parquet(str(data2 / "transcripts.parquet"))
+    storage.write_stage(df, data2, "transcripts.tmp", spark_bucket_col="conv_id", n_buckets=8)
+    src = data2 / "transcripts.parquet"
+    shutil.rmtree(src) if src.is_dir() else src.unlink()
+    (data2 / "transcripts.tmp").rename(src)
+
+    bi = run_pipeline(spark, data2, tmp_path / "kg_bin", CFG)
+    assert _triples(bi) == baseline
+    m_files = list((tmp_path / "kg_bin" / "mentions").glob("*.parquet"))
+    assert 0 < len(m_files) <= 8, len(m_files)  # shuffle-free write kept 1 file/bucket
+
+
 def test_lineage_counters(spark, fixture_dir, tmp_path):
     out = tmp_path / "kg_out2"
     run_pipeline(spark, fixture_dir, out, CFG)

@@ -85,6 +85,68 @@ def test_candidates_single_exchange(spark, tables):
     assert big_side.count("Exchange") == 1, big_side
 
 
+def test_bucketed_checkpoints_elide_turn_grain_exchanges(spark, fixture_dir, tmp_path):
+    """The scaling fix of round 3: turn-grain stage checkpoints are Spark
+    bucketed tables on conv_id, so stage boundaries REUSE partitioning.
+    Asserted properties:
+      1. the checkpoint scan is bucketed and a groupBy(conv_id) over it plans
+         NO Exchange;
+      2. the occurrence join (links output shape) against a conv-grain frame
+         derived from the same checkpoints plans NO Exchange at all — the
+         round-2 profile's 237 MB mentions-side shuffle is gone;
+      3. joining against a foreign (unpartitioned) frame shuffles ONLY that
+         side, on the subset key (conv_id), never the bucketed side;
+      4. the shuffle-free bucketed writes did not fan out into tasks x buckets
+         files;
+      5. mention triples landed in the bucket dir = pmod(murmur3(conv_id), n)
+         — physically co-located with their links-checkpoint bucket, proving
+         the triples write moved no mention-grain data."""
+    import re
+
+    from reden_spark.operators.disambiguate import NELConfig
+    from reden_spark.plans.pipeline import run_pipeline
+    from reden_spark.sources import storage
+
+    out = tmp_path / "kg_bucketed"
+    cfg = NELConfig(base_prefix=datagen.BASE_PREFIX, preferred_uri=datagen.BASE_PREFIX)
+    run_pipeline(spark, fixture_dir, out, cfg)
+
+    mentions = storage.read_stage(spark, out, "mentions")
+    p1 = plan(mentions.groupBy("conv_id").count())
+    assert "Bucketed: true" in p1, p1
+    assert not re.findall(r"\(\d+\) Exchange\b", p1), p1  # shuffle exchanges only
+
+    # the real links-output join: occurrence grain x (conv, mention)-grain
+    # chosen, both sides rooted in bucketed checkpoints -> zero Exchange
+    candidates = storage.read_stage(spark, out, "candidates")
+    chosen = candidates.groupBy("conv_id", "mention").agg(F.min("uris")[0].alias("chosen_uris"))
+    j = mentions.select("conv_id", "turn_idx", "occ_idx", "mention").join(
+        chosen, ["conv_id", "mention"]
+    )
+    p2 = plan(j)
+    # no SHUFFLE exchange anywhere: either zero-exchange bucketed SMJ, or AQE
+    # broadcasts the conv-grain side (BroadcastExchange moves no turn-grain
+    # rows) — in both shapes the occurrence table never shuffles
+    assert not re.findall(r"\(\d+\) Exchange\b", p2), p2
+
+    # a foreign frame must shuffle alone, clustered on the SUBSET key conv_id
+    foreign = spark.createDataFrame([("c0", "AlbaniaX", "u")], "conv_id string, mention string, u string")
+    p3 = plan(mentions.join(foreign.hint("shuffle_hash"), ["conv_id", "mention"]))
+    assert len(re.findall(r"\(\d+\) Exchange\b", p3)) == 1, p3
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", p3)
+    assert keys and all("mention" not in k for k in keys), keys
+
+    for st in ("candidates", "links"):
+        files = list((out / st).glob("*.parquet"))
+        assert 0 < len(files) <= 32, (st, len(files))
+
+    raw = spark.read.parquet(str(out / "triples")).filter(F.col("subj").startswith("urn:mention:"))
+    bad = raw.withColumn(
+        "expect", F.pmod(F.hash(F.split_part(F.col("subj"), F.lit(":"), F.lit(3))), F.lit(32))
+    ).filter(F.col("bucket") != F.col("expect"))
+    assert bad.count() == 0
+
+
 def test_enrich_and_compare_ops(spark, tables, fixture_dir):
     import json
 
