@@ -65,13 +65,35 @@ def broadcast_terms(terms: DataFrame):
     return terms.sparkSession.sparkContext.broadcast(sink.getvalue().to_pybytes())
 
 
+def file_terms_handle(terms: DataFrame, path: str) -> dict:
+    """The >GB escape hatch of :func:`broadcast_terms`: write the distinct term
+    list as parquet at a worker-reachable `path` (a DISTRIBUTED write — the
+    terms never pass through the driver at all, unlike the broadcast, whose
+    payload the driver must at least relay once) and return the tiny handle
+    that is broadcast in its place. Each worker process opens the file and
+    compiles the matcher once (cached in _MATCHER_CACHE keyed by path). On a
+    cluster `path` lives on the DFS every executor mounts; torrent-broadcast
+    bandwidth stops being the bottleneck at 10^7-alias gazetteers."""
+    terms.select("term").distinct().write.mode("overwrite").parquet(path)
+    return {"terms_path": path}
+
+
 def _matcher_for(bc) -> GazetteerMatcher:
     # worker-side Broadcast exposes _path (spill file); driver-side has _jbroadcast.
-    key = getattr(bc, "_path", None) or id(bc)
+    value_is_handle = isinstance(getattr(bc, "value", None), dict)
+    key = (
+        bc.value["terms_path"]
+        if value_is_handle
+        else (getattr(bc, "_path", None) or id(bc))
+    )
     matcher = _MATCHER_CACHE.get(key)
     if matcher is None:
         value = bc.value
-        if isinstance(value, (bytes, bytearray)):
+        if isinstance(value, dict):  # file handle (file_terms_handle)
+            import pyarrow.parquet as pq
+
+            terms = pq.read_table(value["terms_path"], columns=["term"]).column("term").to_pylist()
+        elif isinstance(value, (bytes, bytearray)):
             import pyarrow as pa
 
             terms = pa.ipc.open_stream(pa.BufferReader(value)).read_all().column("term").to_pylist()
@@ -83,11 +105,15 @@ def _matcher_for(bc) -> GazetteerMatcher:
     return matcher
 
 
-def mention_finder_udf(terms: DataFrame):
+def mention_finder_udf(terms: DataFrame, terms_path: str | None = None):
     """Build the Arrow-batched gazetteer UDF (shared by batch and streaming paths).
-    The term list ships once per executor via an Arrow broadcast; the compiled
-    regex is cached per worker process."""
-    bc = broadcast_terms(terms)
+    The term list ships once per executor via an Arrow broadcast — or, when
+    ``terms_path`` is given, via shared storage (:func:`file_terms_handle`, the
+    >GB gazetteer path); the compiled regex is cached per worker process."""
+    if terms_path is not None:
+        bc = terms.sparkSession.sparkContext.broadcast(file_terms_handle(terms, terms_path))
+    else:
+        bc = broadcast_terms(terms)
 
     @F.pandas_udf(_MATCH_TYPE)
     def find_all(texts: pd.Series) -> pd.Series:
@@ -100,7 +126,7 @@ def mention_finder_udf(terms: DataFrame):
 _MENTIONS_SCHEMA = "conv_id string, turn_idx int, occ_idx int, mention string, start_pos int"
 
 
-def detect_mentions(turns: DataFrame, terms: DataFrame) -> DataFrame:
+def detect_mentions(turns: DataFrame, terms: DataFrame, terms_path: str | None = None) -> DataFrame:
     """transcripts x mention_terms -> MENTIONS schema (production mapInPandas path).
 
     Map-only: the matcher emits matches in left-to-right order, so occ_idx is
@@ -108,10 +134,16 @@ def detect_mentions(turns: DataFrame, terms: DataFrame) -> DataFrame:
     exploded flat rows directly from the Arrow batch (columnar list building),
     skipping the nested array<struct> construction + JVM posexplode a scalar
     UDF would need — ~2x less Python/Arrow overhead per turn.
+
+    ``terms_path``: shared-storage gazetteer handoff for dictionaries too big
+    to broadcast comfortably (:func:`file_terms_handle`).
     """
     import numpy as np
 
-    bc = broadcast_terms(terms)
+    if terms_path is not None:
+        bc = turns.sparkSession.sparkContext.broadcast(file_terms_handle(terms, terms_path))
+    else:
+        bc = broadcast_terms(terms)
 
     def gen(batches):
         matcher = _matcher_for(bc)
