@@ -209,6 +209,124 @@ def conversation_progress_event_time(
     )
 
 
+CLOSED_MENTIONS_SCHEMA = "conv_id string, turn_idx int, occ_idx int, mention string, start_pos int"
+SESSION_STATE_SCHEMA = "payload string, last_ts_ms bigint"
+
+
+def closed_conversation_mentions(
+    mentions_stream: DataFrame, gap_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Sessionize the mention stream on event time: per-conversation state
+    accumulates the conversation's mentions; when the watermark moves `gap`
+    past its last mention the conversation CLOSES and its complete mention set
+    is emitted (occ_idx assigned by (turn_idx, start_pos) order — identical to
+    the batch detector's per-turn match index, since matches are emitted
+    left-to-right and never overlap). Open conversations emit nothing.
+
+    State is one JSON payload per live conversation — bounded by the
+    conversation itself, the same bound the batch groupBy(conv_id) kernel
+    already requires, evicted at close. This is the streaming front half of
+    sessionized disambiguation; feed the output to
+    :func:`run_sessionized_links` to disambiguate each closed session."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = f"{gap_ms} milliseconds"
+    session_tz = mentions_stream.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def update(key: tuple, pdfs, state: GroupState):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            payload, _last = state.get
+            state.remove()
+            rows = _json.loads(payload)
+            rows.sort(key=lambda r: (r[0], r[1]))  # (turn_idx, start_pos)
+            occ: dict[int, int] = {}
+            out = []
+            for turn_idx, start_pos, mention in rows:
+                i = occ.get(turn_idx, 0)
+                occ[turn_idx] = i + 1
+                out.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": turn_idx,
+                        "occ_idx": i,
+                        "mention": mention,
+                        "start_pos": start_pos,
+                    }
+                )
+            yield pd.DataFrame(out)
+            return
+        payload, last_ms = state.get if state.exists else ("[]", 0)
+        rows = _json.loads(payload)
+        for pdf in pdfs:
+            rows.extend(
+                [int(t), int(s), m]
+                for t, s, m in zip(pdf["turn_idx"], pdf["start_pos"], pdf["mention"])
+            )
+            ts_max = pdf["ts"].max()
+            if pd.notna(ts_max):
+                t = pd.Timestamp(ts_max)
+                if t.tz is None:
+                    t = t.tz_localize(session_tz)
+                last_ms = max(last_ms, int(t.value // 1_000_000))
+        state.update((_json.dumps(rows), last_ms))
+        state.setTimeoutTimestamp(max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        # open conversations emit nothing (the timeout branch above yields,
+        # which is what makes this function the generator the API requires)
+
+    return (
+        mentions_stream.withWatermark("ts", gap)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CLOSED_MENTIONS_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_sessionized_links(
+    closed_mentions: DataFrame,
+    dico: DataFrame,
+    kb_edges: DataFrame,
+    rel_weights: DataFrame,
+    cfg,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming sessionized disambiguation: each micro-batch of CLOSED
+    conversations (from :func:`closed_conversation_mentions`) runs the full
+    batch kernel — candidate generation, ambiguity gate, grouped per-session
+    graph disambiguation — via foreachBatch, appending final links per closed
+    session. Conversations are whole by construction (the session only closes
+    once the watermark passes its gap), so the per-batch result is EXACTLY the
+    batch pipeline's links for those conversations (pytest-pinned), arriving
+    incrementally instead of at corpus end."""
+    from ..operators.candidates import conversation_cases, generate_candidates
+    from ..operators.grouped import disambiguate_grouped
+
+    def process_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cands = generate_candidates(batch_df, dico)
+        cases = conversation_cases(batch_df, cands)
+        links = disambiguate_grouped(batch_df, cands, kb_edges, rel_weights, cases, cfg)
+        links.write.mode("append").parquet(out_path)
+
+    q = (
+        closed_mentions.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
     """Drain everything currently available into a parquet sink and stop."""
     q = (

@@ -187,3 +187,48 @@ def test_stream_candidates_equals_batch(spark, tables, fixture_dir, tmp_path):
         for r in mentions.join(cands, ["conv_id", "mention"]).collect()
     }
     assert got == want and len(got) > 50
+
+
+def test_sessionized_streaming_links_equal_batch(spark, tables, fixture_dir, tmp_path):
+    """Streaming sessionized disambiguation (the round-3 forward path): a
+    drained stream's per-closed-session links must equal the batch pipeline's
+    links for every conversation the watermark closed (all but the newest —
+    datagen places each conversation on its own event day)."""
+    import shutil
+
+    from reden_spark import datagen
+    from reden_spark.operators.candidates import conversation_cases, generate_candidates
+    from reden_spark.operators.disambiguate import NELConfig, disambiguate
+    from reden_spark.streaming.ingest import closed_conversation_mentions, run_sessionized_links
+
+    cfg = NELConfig(base_prefix=datagen.BASE_PREFIX, preferred_uri=datagen.BASE_PREFIX)
+    src_dir = tmp_path / "sess_in"
+    src_dir.mkdir()
+    shutil.copy(fixture_dir / "transcripts.parquet", src_dir / "part-0.parquet")
+    stream = stream_transcripts(spark, str(src_dir), schemas.TRANSCRIPTS)
+    mentions_stream = stream_mentions(stream, tables["mention_terms"])
+    out = str(tmp_path / "sess_links")
+    run_sessionized_links(
+        closed_conversation_mentions(mentions_stream),
+        tables["dico"],
+        tables["kb_edges"],
+        tables["rel_weights"],
+        cfg,
+        out,
+        str(tmp_path / "sess_ckpt"),
+    )
+
+    mentions = detect_mentions(tables["transcripts"], tables["mention_terms"])
+    candidates = generate_candidates(mentions, tables["dico"])
+    cases = conversation_cases(mentions, candidates)
+    batch_links = disambiguate(
+        mentions, candidates, tables["kb_edges"], tables["rel_weights"], cases, cfg
+    )
+    key = lambda r: (r.conv_id, r.turn_idx, r.occ_idx, r.mention)  # noqa: E731
+    want = {key(r): (r.chosen_uris, r.path) for r in batch_links.collect()}
+    got = {key(r): (r.chosen_uris, r.path) for r in spark.read.parquet(out).collect()}
+    newest = max(r.conv_id for r in batch_links.select("conv_id").distinct().collect())
+    closed_want = {k: v for k, v in want.items() if k[0] != newest}
+    assert set(got) == set(closed_want)
+    assert got == closed_want
+    assert len(got) > 50
