@@ -25,16 +25,66 @@ from ..checkpointing import checkpoint
 from ..functions.text import LINKS_TO, SAME_AS
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50, check_every: int = 2) -> DataFrame:
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the (bounded, pre-checked) edge list and
+    run union-find with path compression on the driver — one job instead of
+    O(log d) rounds x 2-3 jobs each. The iterative loop's serial job-submission
+    latency (~10 s per pipeline run regardless of data size) was the largest
+    fixed cost left in the triples stage after the layout work; equivalence
+    graphs are KB-sized (sameAs + dico co-membership), not corpus-sized, so
+    they are almost always under the threshold. Semantics identical: canonical
+    = min URI of the component."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.select("a", "b").collect()
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[ra] = rb
+    members: dict[str, list[str]] = {}
+    verts = {v for r in rows for v in (r[0], r[1])}
+    for v in verts:
+        members.setdefault(find(v), []).append(v)
+    out = []
+    for group in members.values():
+        canonical = min(group)
+        out.extend((v, canonical) for v in group)
+    return edges.sparkSession.createDataFrame(out, "uri string, canonical string")
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    check_every: int = 2,
+    driver_max_edges: int | None = 1_000_000,
+) -> DataFrame:
     """edges(a, b) undirected -> (uri, canonical) where canonical = min URI of the
     component. Isolated URIs (not in edges) are their own canonical and are not
     returned — callers coalesce(canonical, uri).
+
+    ``driver_max_edges``: equivalence graphs up to this size take the
+    union-find fast path (:func:`_driver_union_find` — one bounded count + one
+    collect of the KB-sized edge list, zero iterative rounds); larger graphs
+    (10^8-entity KBs) run the distributed pointer-jumping loop. Pass None to
+    force the distributed path (tests exercise both).
 
     ``check_every``: the convergence probe is a driver-side count action (a
     whole job submission); labels only ever decrease, so comparing against the
     labels of N rounds ago detects the fixpoint just as soundly. Probing every
     2nd round halves job-submission overhead on deep graphs at the cost of at
     most one redundant (cheap, already-converged) round."""
+    if driver_max_edges is not None:
+        # bounded probe: never counts past the threshold
+        if edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
+            return _driver_union_find(edges)
     sym = edges.select(F.col("a"), F.col("b")).unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

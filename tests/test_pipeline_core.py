@@ -189,9 +189,12 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame(
         [(f"u{i:03d}", f"u{i + 1:03d}") for i in range(n)], "a string, b string"
     )
-    rows = connected_components(edges, max_iter=12).collect()
+    rows = connected_components(edges, max_iter=12, driver_max_edges=None).collect()
     assert len(rows) == n + 1
     assert {r.canonical for r in rows} == {"u000"}
+    # the small-graph union-find fast path must agree exactly
+    fast = connected_components(edges).collect()
+    assert sorted((r.uri, r.canonical) for r in fast) == sorted((r.uri, r.canonical) for r in rows)
 
 
 def test_connected_components_raises_on_nonconvergence(spark):
@@ -203,7 +206,7 @@ def test_connected_components_raises_on_nonconvergence(spark):
         [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(40)], "a string, b string"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, driver_max_edges=None)
 
 
 def test_connected_components_random_graphs_match_union_find(spark):
@@ -237,13 +240,10 @@ def test_connected_components_random_graphs_match_union_find(spark):
         for v in touched:
             want[v] = comp_min[find(v)]
 
-        got = {
-            r.uri: r.canonical
-            for r in connected_components(
-                spark.createDataFrame(edges, "a string, b string")
-            ).collect()
-        }
-        assert got == want, f"trial {trial}: {sorted(set(got.items()) ^ set(want.items()))[:6]}"
+        frame = spark.createDataFrame(edges, "a string, b string")
+        for dme in (None, 1_000_000):  # distributed loop AND union-find fast path
+            got = {r.uri: r.canonical for r in connected_components(frame, driver_max_edges=dme).collect()}
+            assert got == want, f"trial {trial} dme={dme}: {sorted(set(got.items()) ^ set(want.items()))[:6]}"
 
 
 def test_connected_components_fixpoint_at_iteration_budget(spark):
@@ -254,7 +254,10 @@ def test_connected_components_fixpoint_at_iteration_budget(spark):
     from reden_spark.operators.canonicalize import connected_components
 
     edges = spark.createDataFrame([("u1", "u2")], "a string, b string")
-    got = {r.uri: r.canonical for r in connected_components(edges, max_iter=0).collect()}
+    got = {
+        r.uri: r.canonical
+        for r in connected_components(edges, max_iter=0, driver_max_edges=None).collect()
+    }
     assert got == {"u1": "u1", "u2": "u1"}
 
 
