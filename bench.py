@@ -206,12 +206,14 @@ def run_kernel(master_cpus: str, data_dir: Path) -> dict:
     10^12-turn scale — conversation-grain graph tables are orders of magnitude
     smaller than the turn table). Measures pure compute scaling with shuffle,
     checkpoint I/O and job cold-start excluded."""
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     from reden_spark.operators.mentions import detect_mentions
     from reden_spark.session import get_spark
 
-    n_turns = pq.ParquetFile(str(data_dir / "transcripts.parquet")).metadata.num_rows
+    # transcripts.parquet is a single file for plain fixtures and a directory
+    # for bucket(conv_id)-converted ones; pyarrow dataset handles both.
+    n_turns = pads.dataset(str(data_dir / "transcripts.parquet"), format="parquet").count_rows()
     spark = get_spark("reden-kernel", master=f"local[{master_cpus}]")
     try:
         from pyspark.sql import functions as F
