@@ -411,9 +411,41 @@ def disambiguate(
     # input-bytes in the event log). These frames are conversation-grain
     # (tiny vs the turn table), so the serialization point is cheap.
     members_ok = checkpoint(_group_members(cand_ok))
-    colored_ok = checkpoint(colored_nodes(cand_ok, cfg, members=members_ok))
 
-    edges = checkpoint(fuse_edges(cand_ok, kb_edges, rel_weights, cfg, members=members_ok))
+    # colored and edges are INDEPENDENT given members: materialize them from
+    # two driver threads so their jobs overlap (Spark job submission is
+    # thread-safe; a multi-tenant cluster scheduler would interleave these
+    # stages anyway). The links stage's serial-barrier floor — 3 back-to-back
+    # checkpoint jobs at avg parallelism 11/32 in the stage profile — is the
+    # pinned scaling residual; this removes one barrier of it. Pinned-thread
+    # mode gives worker threads no job group, so re-pin the caller's group
+    # for event-log stage attribution (bench.py --stage-profile).
+    # REDEN_PARALLEL_MATERIALIZE=0 forces the serial order (measurement A/B;
+    # also the safe fallback if a deployment's driver forbids multi-threaded
+    # job submission).
+    import os as _os
+
+    colored_plan = colored_nodes(cand_ok, cfg, members=members_ok)
+    edges_plan = fuse_edges(cand_ok, kb_edges, rel_weights, cfg, members=members_ok)
+    if _os.environ.get("REDEN_PARALLEL_MATERIALIZE", "1") == "0":
+        colored_ok = checkpoint(colored_plan)
+        edges = checkpoint(edges_plan)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = candidates.sparkSession.sparkContext
+        job_group = sc.getLocalProperty("spark.jobGroup.id")
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            if job_group is not None:
+                sc.setLocalProperty("spark.jobGroup.id", job_group)
+            return checkpoint(df)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            colored_future = pool.submit(_materialize, colored_plan)
+            edges_future = pool.submit(_materialize, edges_plan)
+            colored_ok = colored_future.result()
+            edges = edges_future.result()
     scores = centrality(edges, cand_ok, cfg, members=members_ok, colored=colored_ok)
     graph_chosen = choose_links(
         cand_ok, scores, cfg, members=members_ok, colored=colored_ok
