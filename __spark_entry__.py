@@ -5,11 +5,10 @@ candidate join -> per-conversation graph disambiguation -> links) over a
 transcripts table derived deterministically from sf0.001 events+nation.
 
 queries()/oracle_sql() — one entry per implemented operator from SURVEY.md §2
-plus the training-data extras; oracles are DuckDB SQL over the same derivation
-(see reden_spark/driver_contract.py). ann_lsh_topk / ann_ivf_trained /
-media_features are intentionally rows-only (engine-specific numpy/
-iterative-float internals); each has a brute-force, recall, or determinism
-pytest in tests/test_extras.py.
+plus the training-data extras (dedup family incl. transitive clustering,
+ANN family, text stats incl. TF-IDF, media decoders, stratified sampling);
+ALL 54 queries carry an exact DuckDB oracle (see reden_spark/
+driver_contract.py) — no rows-only entries remain.
 """
 
 from __future__ import annotations

@@ -853,6 +853,112 @@ SELECT * FROM (
 )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering + keep-best-doc policy over the exact
+    n-gram-Jaccard pair set of dedup_ngram_jaccard (operators/curation.py —
+    reuses the KG connected-components operator on the pair graph)."""
+    from .operators.curation import dedup_clusters
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_clusters(docs, ngram_jaccard_pairs(docs, 3, 0.8))
+
+
+# Same pair derivation as O_DEDUP_NGRAM, then connected components as a
+# recursive reachability CTE (min reachable id = cluster label — identical to
+# the Spark operator's min-URI-of-component semantics), keep = argmax
+# (n_chars, -doc_id) per cluster, singletons their own kept cluster.
+O_DEDUP_CLUSTERS = (
+    (_DUCK_SHINGLES.format(nm1=2) + _DUCK_NGRAM_BANDS).replace(
+        "WITH toks AS", "WITH RECURSIVE toks AS", 1
+    )
+    + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b USING (block) WHERE a.doc_id < b.doc_id
+), paired AS (
+  SELECT p.doc_a, p.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b
+), jp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+    FROM paired
+  ) WHERE jaccard >= 0.8
+), dedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp
+), dnodes AS (
+  SELECT DISTINCT a AS v FROM dedges
+), reach(src, dst) AS (
+  SELECT v, v FROM dnodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN dedges e ON r.dst = e.a
+), lbl AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), asg AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN lbl l USING (doc_id)
+), csz AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1
+)
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       row_number() OVER (PARTITION BY a.cluster_id ORDER BY a.n_chars DESC, a.doc_id ASC) = 1 AS keep
+FROM asg a JOIN csz s USING (cluster_id)
+"""
+)
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import tfidf_topk
+
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=3)
+
+
+O_TEXT_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+), dfd AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfd.df_docs,
+         round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfd.df_docs), 6) AS tfidf
+  FROM tf JOIN dfd USING (term)
+)
+SELECT doc_id, term, tf, df_docs, tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import stratified_sample
+
+    return stratified_sample(_read(spark, sf_dir, "documents"), fraction=0.2, stratum_col="lang")
+
+
+O_DOC_SAMPLE_STRATIFIED = """
+WITH hashed AS (
+  SELECT doc_id, lang AS stratum,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents
+), cnt AS (
+  SELECT stratum, count(*) AS n_stratum, ceil(count(*) * 0.2)::BIGINT AS n_take
+  FROM hashed GROUP BY 1
+), ranked AS (
+  SELECT hashed.*, row_number() OVER (PARTITION BY stratum ORDER BY h ASC, doc_id ASC) AS sample_rank
+  FROM hashed
+)
+SELECT r.doc_id, r.stratum, r.sample_rank, c.n_stratum, c.n_take
+FROM ranked r JOIN cnt c USING (stratum)
+WHERE r.sample_rank <= c.n_take
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_pairs
 
@@ -2257,6 +2363,9 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "text_tfidf_topk": q_text_tfidf_topk,
+    "doc_sample_stratified": q_doc_sample_stratified,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2310,6 +2419,9 @@ ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_minhash_lsh": O_DEDUP_MINHASH,
     "dedup_ngram_jaccard": O_DEDUP_NGRAM,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
+    "text_tfidf_topk": O_TEXT_TFIDF_TOPK,
+    "doc_sample_stratified": O_DOC_SAMPLE_STRATIFIED,
     "dedup_embedding": _o_dedup_embedding(),
     "dedup_simhash": O_DEDUP_SIMHASH,
     "media_features": O_MEDIA_FEATURES,

@@ -1,0 +1,88 @@
+"""Corpus-curation operators over `documents`: transitive dedup clustering
+with a keep-best-doc policy, and deterministic stratified sampling — the two
+decisions a training-data pipeline makes for EVERY document at 100 TB.
+
+Both are pure DataFrame compositions with exact DuckDB oracles. The dedup
+clusterer deliberately reuses the KG pipeline's connected-components operator
+(canonicalize.connected_components): near-dup pairs are an equivalence
+relation exactly like owl:sameAs edges, so the same union-find fast path /
+pointer-jumping machinery applies (the reference's sameAs closure,
+GraphHandlerNEL.java:114-197, is the semantic ancestor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, keep) for EVERY document.
+
+    `pairs` is any near-dup pair frame (doc_a, doc_b[, ...]) — exact, MinHash,
+    n-gram-Jaccard, SimHash or embedding pairs all fit. Clusters are the
+    connected components of the pair graph; cluster_id = min doc_id of the
+    component (singletons are their own cluster). Per cluster exactly one doc
+    is kept: argmax n_chars, ties to min doc_id — the standard keep-longest
+    near-dup policy.
+
+    Scale shape: the pair graph is dup-sized, orders of magnitude smaller than
+    the corpus, so connected_components takes its driver union-find fast path
+    (or the O(log d) distributed loop past the probe bound) and the label
+    frame broadcasts back onto the corpus. The keep-argmax window shuffles
+    ONLY docs that appear in some pair — the untouched majority short-circuits
+    to keep=true via an anti-join, never entering the window.
+    """
+    from .canonicalize import connected_components
+
+    # zero-pad ids so lexicographic CC labels == numeric min (CC is string-typed)
+    pad = lambda c: F.format_string("%020d", F.col(c).cast("long"))  # noqa: E731
+    edges = pairs.select(pad("doc_a").alias("a"), pad("doc_b").alias("b"))
+    labels = connected_components(edges).select(
+        F.col("uri").cast("long").alias("doc_id"),
+        F.col("canonical").cast("long").alias("cluster_id"),
+    )
+
+    dup_docs = docs.join(labels, "doc_id", "inner")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    dup_out = (
+        dup_docs.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(sizes), "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size", (F.col("rn") == 1).alias("keep"))
+    )
+    singleton_out = docs.join(labels, "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.lit(True).alias("keep"),
+    )
+    return dup_out.unionByName(singleton_out)
+
+
+def stratified_sample(docs: DataFrame, fraction: float = 0.2, stratum_col: str = "lang") -> DataFrame:
+    """Deterministic EXACT stratified sample: per stratum, take the
+    ceil(n * fraction) docs with the smallest md5-derived hash
+    (doc_id tie-break). Returns (doc_id, stratum, sample_rank, n_stratum,
+    n_take) — exactly n_take rows per stratum, reproducible across engines
+    and runs (no RNG: the hash IS the sampling order).
+
+    Scale shape: one window shuffle keyed on the stratum. A dominant stratum
+    makes one partition hot; when exact per-stratum counts are not required,
+    the map-only Bernoulli variant — keep iff hash % M < fraction*M, zero
+    shuffle — is the 100 TB default and this exact variant is the auditable
+    small-stratum path (rare-language quotas, eval holdouts).
+    """
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    hashed = docs.select("doc_id", F.col(stratum_col).alias("stratum")).withColumn("h", h)
+    counts = hashed.groupBy("stratum").agg(
+        F.count("*").alias("n_stratum"),
+        F.ceil(F.count("*") * F.lit(fraction)).cast("long").alias("n_take"),
+    )
+    w = Window.partitionBy("stratum").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        hashed.withColumn("sample_rank", F.row_number().over(w))
+        .join(F.broadcast(counts), "stratum")
+        .filter(F.col("sample_rank") <= F.col("n_take"))
+        .select("doc_id", "stratum", "sample_rank", "n_stratum", "n_take")
+    )

@@ -102,3 +102,38 @@ def fingerprint(docs: DataFrame, shingle_n: int = 5) -> DataFrame:
             "min_shingle_md5"
         ),
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (doc_id, term, tf, df_docs, tfidf, rnk).
+
+    The classic training-data-curation signal (domain keywords, boilerplate
+    detection). idf = ln(N / df) with N = |documents| (no smoothing —
+    engine-portable, df >= 1 by construction); score quantized to 6 decimals
+    before ranking; ties broken by term ascending so the top-k set is
+    deterministic in both engines.
+
+    Scale shape: tokenize (codegen'd split, no UDF) -> one (doc_id, term)
+    partial-agg shuffle for tf -> one term-grain shuffle for df (terms are
+    orders of magnitude fewer than tokens after the map-side combine) ->
+    broadcast df back onto tf -> per-doc window. No step materializes an
+    unbounded per-doc state.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # one scalar action; the corpus size is a job input at any scale
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_docs = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    scored = tf.join(df_docs, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_docs")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df_docs", "tfidf", "rnk")
+    )

@@ -502,3 +502,79 @@ def test_y4m_frame_stats_real_decode(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         decode_y4m_frames(b"RIFF not y4m")
+
+
+def test_dedup_clusters_transitive_and_keep_policy(docs, spark):
+    """dedup_clusters: every doc labeled exactly once; clusters are closed
+    under the pair relation (both ends of every pair share a cluster);
+    exactly one keep per cluster = argmax (n_chars, -doc_id); singletons
+    keep=true. Non-vacuous: the fixture must produce at least one multi-doc
+    cluster (it seeds near-duplicate templates)."""
+    from reden_spark.operators.curation import dedup_clusters
+    from reden_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, 3, 0.8)
+    out = dedup_clusters(docs, pairs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count()  # total assignment, each doc once
+
+    plist = pairs.select("doc_a", "doc_b").collect()
+    assert plist, "fixture produced no near-dup pairs — test is vacuous"
+    for p in plist:
+        assert rows[p["doc_a"]]["cluster_id"] == rows[p["doc_b"]]["cluster_id"]
+
+    by_cluster: dict[int, list] = {}
+    for r in rows.values():
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert any(len(m) > 1 for m in by_cluster.values())
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)  # min-id label
+        assert all(m["cluster_size"] == len(members) for m in members)
+        kept = [m for m in members if m["keep"]]
+        assert len(kept) == 1
+        best = max(members, key=lambda m: (chars[m["doc_id"]], -m["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+
+
+def test_stratified_sample_exact_counts(docs):
+    """Exact per-stratum quota, deterministic across calls, sample is a
+    hash-prefix (rank k implies ranks 1..k-1 present)."""
+    from reden_spark.operators.curation import stratified_sample
+
+    out = stratified_sample(docs, fraction=0.2, stratum_col="lang").collect()
+    strata = {}
+    for r in out:
+        strata.setdefault(r["stratum"], []).append(r)
+    totals = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    import math
+
+    assert set(strata) == set(totals)  # every stratum sampled
+    for s, members in strata.items():
+        want = math.ceil(totals[s] * 0.2)
+        assert len(members) == want
+        assert sorted(m["sample_rank"] for m in members) == list(range(1, want + 1))
+        assert all(m["n_take"] == want and m["n_stratum"] == totals[s] for m in members)
+    again = stratified_sample(docs, fraction=0.2, stratum_col="lang").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_tfidf_topk_ranks_and_scores(docs):
+    """Top-3 per doc, rank-ordered by (tfidf desc, term asc); scores match a
+    recomputation from raw tf/df; df consistent with term document frequency."""
+    from reden_spark.operators.textstats import tfidf_topk
+
+    import math
+
+    n_docs = docs.count()
+    out = tfidf_topk(docs, k=3).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for rs in per_doc.values():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r["tfidf"], r["term"]) for r in rs]
+        assert keys == sorted(keys)
+        for r in rs:
+            assert r["tfidf"] == round(r["tf"] * math.log(n_docs / r["df_docs"]), 6)
