@@ -181,6 +181,10 @@ PER_QUERY = [
     "text_quality",
     "rel_pushdown_agg",
     "rel_sessionize",
+    # round-3 curation additions (keys additive — r1/r2 keys unchanged for
+    # round-over-round comparability)
+    "dedup_clusters",
+    "text_tfidf_topk",
 ]
 
 

@@ -959,6 +959,29 @@ WHERE r.sample_rank <= c.n_take
 """
 
 
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import pack_sequences
+
+    return pack_sequences(_read(spark, sf_dir, "documents"), budget=512, n_shards=8)
+
+
+O_DOC_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+         len(list_filter(string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' '),
+                         t -> t <> '')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens, start_offset, start_offset // 512 AS seq_idx FROM packed
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_pairs
 
@@ -2366,6 +2389,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "text_tfidf_topk": q_text_tfidf_topk,
     "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2422,6 +2446,7 @@ ORACLES = {
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "text_tfidf_topk": O_TEXT_TFIDF_TOPK,
     "doc_sample_stratified": O_DOC_SAMPLE_STRATIFIED,
+    "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
     "dedup_embedding": _o_dedup_embedding(),
     "dedup_simhash": O_DEDUP_SIMHASH,
     "media_features": O_MEDIA_FEATURES,

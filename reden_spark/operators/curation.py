@@ -86,3 +86,35 @@ def stratified_sample(docs: DataFrame, fraction: float = 0.2, stratum_col: str =
         .filter(F.col("sample_rank") <= F.col("n_take"))
         .select("doc_id", "stratum", "sample_rank", "n_stratum", "n_take")
     )
+
+
+def pack_sequences(docs: DataFrame, budget: int = 512, n_shards: int = 8) -> DataFrame:
+    """Concat-and-chunk sequence packing for pretraining: assign every doc to
+    a (shard, seq_idx) training sequence of ~`budget` tokens. Docs are
+    concatenated in doc_id order within a shard and split at token-budget
+    boundaries (seq_idx = floor(start_offset / budget) — the standard
+    "concatenate then chunk" packing; a doc may straddle a boundary, exactly
+    as pretraining token streams do). Returns (doc_id, shard, n_tokens,
+    start_offset, seq_idx).
+
+    Scale shape: a GLOBAL packing order would serialize the corpus through
+    one cumulative-sum partition; instead docs are hashed into `n_shards`
+    independent streams (set n_shards ~ writer parallelism at 100 TB) and
+    each shard packs via one ordered-window running sum. The md5-derived
+    shard hash makes the assignment engine-portable and RNG-free.
+    """
+    from .textstats import tokens
+
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    toks = docs.select(
+        "doc_id",
+        F.pmod(h, F.lit(n_shards)).alias("shard"),
+        F.size(F.filter(tokens(F.col("text")), lambda t: t != "")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long").alias("start_offset"),
+    ).withColumn("seq_idx", (F.col("start_offset") / budget).cast("long"))

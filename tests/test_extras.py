@@ -578,3 +578,23 @@ def test_tfidf_topk_ranks_and_scores(docs):
         assert keys == sorted(keys)
         for r in rs:
             assert r["tfidf"] == round(r["tf"] * math.log(n_docs / r["df_docs"]), 6)
+
+
+def test_pack_sequences_contiguous_offsets(docs):
+    """Per shard: offsets are the running sum of token counts in doc_id order
+    (contiguous stream, no gaps/overlaps) and seq_idx = start_offset // budget."""
+    from reden_spark.operators.curation import pack_sequences
+
+    out = pack_sequences(docs, budget=512, n_shards=8).collect()
+    assert len(out) == docs.count()
+    shards = {}
+    for r in out:
+        shards.setdefault(r["shard"], []).append(r)
+    assert len(shards) > 1  # hashing actually spreads docs
+    for members in shards.values():
+        members.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in members:
+            assert r["start_offset"] == expect
+            assert r["seq_idx"] == r["start_offset"] // 512
+            expect += r["n_tokens"]
