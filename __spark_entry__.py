@@ -7,7 +7,7 @@ transcripts table derived deterministically from sf0.001 events+nation.
 queries()/oracle_sql() — one entry per implemented operator from SURVEY.md §2
 plus the training-data extras (dedup family incl. transitive clustering,
 ANN family, text stats incl. TF-IDF, media decoders, stratified sampling);
-ALL 55 queries carry an exact DuckDB oracle (see reden_spark/
+ALL 56 queries carry an exact DuckDB oracle (see reden_spark/
 driver_contract.py) — no rows-only entries remain.
 """
 

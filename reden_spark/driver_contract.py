@@ -982,6 +982,52 @@ SELECT doc_id, shard, n_tokens, start_offset, start_offset // 512 AS seq_idx FRO
 """
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the curation operators: the 20% stratified sample is the
+    eval holdout; the remaining 80% is the training corpus, decontaminated
+    against the holdout's word 8-grams."""
+    from .operators.curation import decontaminate, stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    samp = stratified_sample(docs, fraction=0.2, stratum_col="lang").select("doc_id")
+    train = docs.join(samp, "doc_id", "left_anti")
+    holdout = docs.join(samp, "doc_id", "inner")
+    return decontaminate(train, holdout, shingle_n=8)
+
+
+O_TEXT_DECONTAMINATE = (
+    _DUCK_SHINGLES.format(nm1=7)
+    + """
+, hashed AS (
+  SELECT doc_id, lang AS stratum,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents
+), cnt AS (
+  SELECT stratum, count(*) AS n_stratum, ceil(count(*) * 0.2)::BIGINT AS n_take
+  FROM hashed GROUP BY 1
+), ranked AS (
+  SELECT hashed.*, row_number() OVER (PARTITION BY stratum ORDER BY h ASC, doc_id ASC) AS sample_rank
+  FROM hashed
+), samp AS (
+  SELECT r.doc_id FROM ranked r JOIN cnt c USING (stratum) WHERE r.sample_rank <= c.n_take
+), hold AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+  WHERE doc_id IN (SELECT doc_id FROM samp)
+), train_sh AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+  WHERE doc_id NOT IN (SELECT doc_id FROM samp)
+), hits AS (
+  SELECT doc_id, count(*) AS n_hit_shingles FROM train_sh JOIN hold USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hit_shingles, 0) AS n_hit_shingles,
+       COALESCE(h.n_hit_shingles, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM samp)
+"""
+)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_pairs
 
@@ -2390,6 +2436,7 @@ QUERIES = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "text_decontaminate": q_text_decontaminate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2447,6 +2494,7 @@ ORACLES = {
     "text_tfidf_topk": O_TEXT_TFIDF_TOPK,
     "doc_sample_stratified": O_DOC_SAMPLE_STRATIFIED,
     "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
+    "text_decontaminate": O_TEXT_DECONTAMINATE,
     "dedup_embedding": _o_dedup_embedding(),
     "dedup_simhash": O_DEDUP_SIMHASH,
     "media_features": O_MEDIA_FEATURES,

@@ -118,3 +118,36 @@ def pack_sequences(docs: DataFrame, budget: int = 512, n_shards: int = 8) -> Dat
         "n_tokens",
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long").alias("start_offset"),
     ).withColumn("seq_idx", (F.col("start_offset") / budget).cast("long"))
+
+
+def decontaminate(docs: DataFrame, holdout: DataFrame, shingle_n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag every training doc that shares at least
+    one word `shingle_n`-gram with any holdout/eval doc. Returns
+    (doc_id, n_hit_shingles, contaminated) for EVERY training doc.
+
+    The standard pre-training hygiene pass (eval-set n-gram collision, à la
+    the 13-gram filters in public LLM data recipes — 8 here because the
+    fixture's docs are short). Holdout shingles are deduped first; the join is
+    shingle-equality (one shuffle keyed on the n-gram, or a broadcast when the
+    holdout is benchmark-sized — the common case, left to AQE), counted
+    per doc, then left-joined back so clean docs report 0/false.
+    """
+    from .dedup import word_shingles
+
+    def sh(df):
+        return df.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), shingle_n)).alias("shingle")
+        )
+
+    hold = sh(holdout).select("shingle").distinct()
+    hits = (
+        sh(docs)
+        .join(hold, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hit_shingles", F.lit(0)).cast("long").alias("n_hit_shingles"),
+        (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated"),
+    )

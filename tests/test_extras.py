@@ -598,3 +598,30 @@ def test_pack_sequences_contiguous_offsets(docs):
             assert r["start_offset"] == expect
             assert r["seq_idx"] == r["start_offset"] // 512
             expect += r["n_tokens"]
+
+
+def test_decontaminate_flags_exact_overlaps(docs):
+    """contaminated <=> the doc shares >= 1 word 8-gram with the holdout,
+    recomputed independently in Python; non-vacuous both ways (the fixture's
+    near-dup templates split across the hash-sampled holdout)."""
+    from reden_spark.operators.curation import decontaminate, stratified_sample
+
+    import re
+
+    samp_ids = {r["doc_id"] for r in stratified_sample(docs, 0.2, "lang").collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def grams(t):
+        words = [w for w in re.sub(r"\W+", " ", t.lower()).strip().split(" ") if w]
+        return {" ".join(words[i : i + 8]) for i in range(len(words) - 7)}
+
+    hold = set().union(*(grams(texts[i]) for i in samp_ids)) if samp_ids else set()
+    train = docs.join(docs.sparkSession.createDataFrame([(i,) for i in samp_ids], "doc_id long"), "doc_id", "left_anti")
+    out = {r["doc_id"]: r for r in decontaminate(train, docs.filter(F.col("doc_id").isin(samp_ids)), 8).collect()}
+    assert set(out) == set(texts) - samp_ids  # full training assignment
+    flagged = {i for i, r in out.items() if r["contaminated"]}
+    expect = {i for i in out if grams(texts[i]) & hold}
+    assert flagged == expect
+    assert flagged and (set(out) - flagged)  # both classes present
+    for i, r in out.items():
+        assert r["n_hit_shingles"] == len(grams(texts[i]) & hold)
