@@ -297,3 +297,33 @@ def test_media_decode_pipelines_are_map_only(spark):
     ):
         p = plan(df)
         assert "Exchange" not in p, p[:1200]
+
+
+def test_curation_plan_shapes(spark):
+    """Curation operators keep their designed physical shapes: stratified
+    sampling = count-agg + window partitioning (2 Exchanges) with the quota
+    table broadcast back; sequence packing = exactly one Exchange (the
+    per-shard window); decontamination = shingle-join + per-doc agg +
+    left-join back (3 Exchanges, holdout side broadcast). Never a cartesian
+    product or a sort-merge join (everything joinable is broadcast-sized)."""
+    import re
+
+    from reden_spark.operators.curation import (
+        decontaminate,
+        pack_sequences,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def shuffles(df):
+        p = plan(df)
+        assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p[:1500]
+        return len({m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", p)}), p
+
+    n, p = shuffles(stratified_sample(docs))
+    assert n == 2 and "BroadcastHashJoin" in p, p[:1500]
+    n, p = shuffles(pack_sequences(docs))
+    assert n == 1, p[:1500]
+    n, p = shuffles(decontaminate(docs.limit(400), docs.limit(100), 8))
+    assert n == 3 and "BroadcastHashJoin" in p, p[:1500]
