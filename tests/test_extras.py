@@ -625,3 +625,19 @@ def test_decontaminate_flags_exact_overlaps(docs):
     assert flagged and (set(out) - flagged)  # both classes present
     for i, r in out.items():
         assert r["n_hit_shingles"] == len(grams(texts[i]) & hold)
+
+
+def test_curation_edge_cases(docs, spark):
+    """Empty pair set -> every doc a kept singleton; fraction=1.0 -> the
+    sample IS the corpus (exact quotas hold at the boundary)."""
+    from reden_spark.operators.curation import dedup_clusters, stratified_sample
+
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = dedup_clusters(docs, empty_pairs).collect()
+    n = docs.count()
+    assert len(out) == n
+    assert all(r["keep"] and r["cluster_size"] == 1 and r["cluster_id"] == r["doc_id"] for r in out)
+
+    full = stratified_sample(docs, fraction=1.0, stratum_col="lang").collect()
+    assert len(full) == n
+    assert all(r["n_take"] == r["n_stratum"] for r in full)
