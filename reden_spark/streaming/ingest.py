@@ -338,3 +338,23 @@ def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup_exact(docs_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each normalized
+    content key, drop every later copy. State = one row per distinct key,
+    bounded by the event-time watermark (`dropDuplicatesWithinWatermark`, so
+    a key's state is evicted once the watermark passes its arrival — the
+    at-scale requirement; an unwatermarked dropDuplicates would grow state
+    with corpus cardinality forever). Same content key as the batch
+    `dedup.exact_dedup` (md5 of whitespace-normalized lowercased text), so a
+    drained stream's survivor set per key equals the batch winner set when
+    all copies arrive inside one watermark.
+    """
+    from ..operators.dedup import norm_text
+
+    return (
+        docs_stream.withColumn("content_key", F.md5(norm_text(F.col("text"))))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_key"])
+    )

@@ -232,3 +232,44 @@ def test_sessionized_streaming_links_equal_batch(spark, tables, fixture_dir, tmp
     assert set(got) == set(closed_want)
     assert got == closed_want
     assert len(got) > 50
+
+
+def test_stream_dedup_exact_first_arrival_wins(spark, tmp_path):
+    """Drained stream keeps exactly one row per content key (the first
+    arrival), with duplicate copies planted both within and across files;
+    survivor set per key equals the batch exact_dedup key set."""
+    from pyspark.sql import functions as F
+
+    from reden_spark.streaming.ingest import run_available_now, stream_dedup_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    base = docs.select(
+        "doc_id", "text", F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts")
+    )
+    dupes = docs.limit(10).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        "text",
+        F.to_timestamp(F.lit("2026-01-01 00:10:00")).alias("ts"),
+    )
+    import shutil
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # one flat file with originals, a second carrying the duplicate copies
+    # (the file stream reads flat files, not nested part-dirs)
+    for name, frame in (("f0", base), ("f1", dupes)):
+        frame.coalesce(1).write.parquet(str(tmp_path / f"w_{name}"))
+        part = next((tmp_path / f"w_{name}").glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(str(src))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_available_now(stream_dedup_exact(stream), out, ckpt)
+    got = spark.read.parquet(out).collect()
+
+    from reden_spark.operators.dedup import norm_text
+
+    keys_in = {r[0] for r in base.unionByName(dupes).select(F.md5(norm_text(F.col("text")))).collect()}
+    assert len(got) == len(keys_in)  # one survivor per distinct content key
+    assert {r["content_key"] for r in got} == keys_in
+    assert all(r["doc_id"] < 10_000 for r in got)  # first arrival (original) wins
