@@ -133,7 +133,11 @@ def run_pipeline(
         n_row_groups = sum(
             pq.ParquetFile(str(f)).metadata.num_row_groups for f in tfiles if f.is_file()
         )
-        split = max(1 << 20, min(128 << 20, total_bytes // min_parallelism or 1))
+        # 3 waves, not 1: detection cost varies per turn (text length), so a
+        # one-wave layout rides its slowest task — 3x finer splits cut the
+        # XL-corpus mentions wall 32.8 -> 22.3 s at local[8] (straggler tail
+        # absorbed; per-task overhead is amortized by reused python workers)
+        split = max(1 << 20, min(128 << 20, total_bytes // (min_parallelism * 3) or 1))
         prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         split_overridden = True
