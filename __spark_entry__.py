@@ -5,10 +5,14 @@ candidate join -> per-conversation graph disambiguation -> links) over a
 transcripts table derived deterministically from sf0.001 events+nation.
 
 queries()/oracle_sql() — one entry per implemented operator from SURVEY.md §2
-plus the training-data extras (dedup family incl. transitive clustering,
-ANN family, text stats incl. TF-IDF, media decoders, stratified sampling);
-ALL 56 queries carry an exact DuckDB oracle (see reden_spark/
-driver_contract.py) — no rows-only entries remain.
+plus the training-data extras (dedup family incl. transitive clustering and
+the chained curation_pipeline recipe, ANN family, text stats incl. TF-IDF,
+media decoders, stratified sampling); ALL 50 queries carry an exact DuckDB
+oracle (see reden_spark/driver_contract.py) — no rows-only entries remain.
+The contract is capped at 50 rows (the driver's per-round oracle budget);
+seven near-duplicate/derivative rows are verified against the same oracles by
+pytest instead (driver_contract.RETIRED_QUERIES,
+tests/test_driver_contract.py).
 """
 
 from __future__ import annotations

@@ -70,19 +70,26 @@ def _ensure_bucketed_transcripts(data_dir: Path, n_buckets: int = 32) -> None:
     pays one compact mentions repartition instead)."""
     import shutil as _sh
 
+    from pyspark.sql import SparkSession
+
     from reden_spark.session import get_spark
     from reden_spark.sources import storage
 
     if storage.stage_exists(data_dir, "transcripts.parquet"):
         return
-    spark = get_spark("reden-bench-ingest", master="local[8]")
+    # getOrCreate would silently reuse a live caller session (wrong master) and
+    # the finally-stop would then kill it out from under the caller — reuse a
+    # pre-existing session without stopping it, own (and stop) only a fresh one
+    owned = SparkSession.getActiveSession() is None
+    spark = get_spark("reden-bench-ingest", master="local[8]") if owned else SparkSession.getActiveSession()
     try:
         df = spark.read.parquet(str(data_dir / "transcripts.parquet"))
         storage.write_stage(
             df, data_dir, "transcripts.bucketed.tmp", spark_bucket_col="conv_id", n_buckets=n_buckets
         )
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
     src = data_dir / "transcripts.parquet"
     _sh.rmtree(src) if src.is_dir() else src.unlink()
     (data_dir / "transcripts.bucketed.tmp").rename(src)
@@ -185,6 +192,10 @@ PER_QUERY = [
     # round-over-round comparability)
     "dedup_clusters",
     "text_tfidf_topk",
+    # round-4: the chained end-to-end curation recipe (pairs are shared with
+    # dedup_minhash_lsh/dedup_clusters via driver_contract._minhash_pairs, as
+    # a real run would share its materialized pair table)
+    "curation_pipeline",
 ]
 
 

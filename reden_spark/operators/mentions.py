@@ -71,18 +71,38 @@ def file_terms_handle(terms: DataFrame, path: str) -> dict:
     terms never pass through the driver at all, unlike the broadcast, whose
     payload the driver must at least relay once) and return the tiny handle
     that is broadcast in its place. Each worker process opens the file and
-    compiles the matcher once (cached in _MATCHER_CACHE keyed by path). On a
-    cluster `path` lives on the DFS every executor mounts; torrent-broadcast
-    bandwidth stops being the bottleneck at 10^7-alias gazetteers."""
+    compiles the matcher once (cached in _MATCHER_CACHE keyed by path PLUS a
+    content fingerprint of the written files: rewriting the same path with a
+    different term list — mode('overwrite') permits it — must not serve a
+    stale compiled matcher from a long-lived worker process). On a cluster
+    `path` lives on the DFS every executor mounts; torrent-broadcast bandwidth
+    stops being the bottleneck at 10^7-alias gazetteers."""
     terms.select("term").distinct().write.mode("overwrite").parquet(path)
-    return {"terms_path": path}
+    return {"terms_path": path, "fingerprint": _terms_fingerprint(path)}
+
+
+def _terms_fingerprint(path: str) -> str | None:
+    """Digest of (name, size, mtime) of the parquet files under `path`; None
+    when the path is not locally statable (e.g. a DFS URI — there the writer
+    should hand out a fresh path per gazetteer version instead)."""
+    import hashlib
+    from pathlib import Path as _P
+
+    try:
+        h = hashlib.md5()
+        for f in sorted(_P(path).rglob("*.parquet")):
+            st = f.stat()
+            h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+        return h.hexdigest()
+    except OSError:
+        return None
 
 
 def _matcher_for(bc) -> GazetteerMatcher:
     # worker-side Broadcast exposes _path (spill file); driver-side has _jbroadcast.
     value_is_handle = isinstance(getattr(bc, "value", None), dict)
     key = (
-        bc.value["terms_path"]
+        (bc.value["terms_path"], bc.value.get("fingerprint"))
         if value_is_handle
         else (getattr(bc, "_path", None) or id(bc))
     )

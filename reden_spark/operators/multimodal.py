@@ -60,7 +60,9 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias(
             "media_type"
         ),
-        F.unhex(F.md5("text")).alias("payload"),
+        # coalesce: md5(NULL) is NULL, which would silently diverge from the
+        # PPM/WAV/Y4M twins (they seed from `text or ""` worker-side)
+        F.unhex(F.md5(F.coalesce("text", F.lit("")))).alias("payload"),
         (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
         (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
         (F.col("doc_id") % 30000 + 1).cast("int").alias("duration_ms"),

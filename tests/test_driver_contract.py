@@ -45,16 +45,27 @@ def normalize(rows, cols):
     return sorted(out)
 
 
-ORACLE_NAMES = sorted(entrymod.oracle_sql())
+from reden_spark.driver_contract import RETIRED_ORACLES, RETIRED_QUERIES
+
+ALL_QUERIES = {**entrymod.queries(), **RETIRED_QUERIES}
+ALL_ORACLES = {**entrymod.oracle_sql(), **RETIRED_ORACLES}
+ORACLE_NAMES = sorted(ALL_ORACLES)
+
+
+def test_driver_contract_within_oracle_budget():
+    # the driver oracles at most 50 rows per round; a larger contract silently
+    # leaves dict-tail rows unevidenced (round-3 lesson)
+    assert len(entrymod.queries()) <= 50
+    assert set(entrymod.oracle_sql()) == set(entrymod.queries())
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, duck, name):
-    q = entrymod.queries()[name]
+    q = ALL_QUERIES[name]
     df = q(spark, SF)
     cols = df.columns
     got = normalize([tuple(r) for r in df.collect()], cols)
-    res = duck.sql(entrymod.oracle_sql()[name])
+    res = duck.sql(ALL_ORACLES[name])
     want = normalize(res.fetchall(), res.columns)
     assert [c.lower() for c in sorted(cols)] == sorted(c.lower() for c in res.columns), (
         f"{name}: column mismatch {sorted(cols)} vs {sorted(res.columns)}"
