@@ -54,23 +54,27 @@ def checkpoint_mode() -> str:
 
 def shared(df: DataFrame) -> DataFrame:
     """Materialization point for a subtree consumed by several branches of ONE
-    downstream query (the links stage's members/colored/edges/survivors).
+    downstream query (the links stage's members/colored/edges/survivors, the
+    dedup signature/shingle frames).
 
-    Default ('lazy'): lazy ``persist(MEMORY_AND_DISK)`` — no driver-side
-    barrier job is submitted at all; the subtree materializes inside the one
-    consuming query at full parallelism, and concurrent AQE stage
+    Default ('eager'): the eager checkpoint barrier of :func:`checkpoint` —
+    measured best on this host (interleaved A/B, BENCH.md round 4: cold
+    kg_links 17.5 s eager vs 20.6 s lazy median at equal load).
+
+    ``REDEN_SHARED_SUBTREE=lazy`` switches to a lazy
+    ``persist(MEMORY_AND_DISK)``: no barrier job is submitted; the subtree
+    materializes inside the one consuming query, and concurrent AQE stage
     materializations dedupe at the block manager's per-partition locks (each
-    cached partition is computed exactly once, later readers block on the
-    lock — unlike a lazy ``localCheckpoint``, which re-executes the whole
-    upstream once per concurrent consumer, the round-2 trap). Cutting the
-    serial checkpoint barriers lifted links-stage parallelism and removed
-    ~10 fixed job submissions per pipeline run — the dominant cost at low
-    data-per-core (BENCH.md round 4).
+    cached partition computed exactly once — unlike a lazy
+    ``localCheckpoint``, which re-executes the whole upstream once per
+    concurrent consumer, the round-2 trap). The A/B showed the columnar
+    cache build of the array-typed members frame costs more than the ~5
+    barrier jobs it saves at this scale; kept as the measurement knob because
+    the trade reverses when per-job latency dominates (very small inputs) or
+    on a cluster whose driver round-trips are slower than its executors.
 
-    ``REDEN_SHARED_SUBTREE=eager`` restores the round-3 eager checkpoint
-    barrier (also the right setting under ``checkpoint_mode='reliable'``,
-    where a shared subtree should be durably materialized: `shared` defers to
-    it automatically)."""
+    Never a lazy localCheckpoint. Under a non-local ``checkpoint_mode``
+    (reliable/persist) `shared` always defers to :func:`checkpoint`."""
     if not shared_is_lazy():
         return checkpoint(df)
     return df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -80,7 +84,7 @@ def shared_is_lazy() -> bool:
     """True when :func:`shared` materializes via lazy persist (no barrier job).
     Callers that overlap eager-checkpoint jobs with driver threads use this to
     skip the (pointless under lazy) thread pool."""
-    return checkpoint_mode() == "local" and os.environ.get("REDEN_SHARED_SUBTREE", "lazy") != "eager"
+    return checkpoint_mode() == "local" and os.environ.get("REDEN_SHARED_SUBTREE", "eager") == "lazy"
 
 
 def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:

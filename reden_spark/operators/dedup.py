@@ -135,10 +135,10 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // bands
     # signatures are consumed 3x (banding + both sides of the verification
-    # join); shared() materializes the digest pass once — lazily persisted
-    # (block-level dedup across AQE's concurrent stages; a lazy
-    # localCheckpoint would re-execute the whole signature computation per
-    # consumer), or an eager checkpoint under REDEN_SHARED_SUBTREE=eager
+    # join); shared() materializes the digest pass once — eager checkpoint by
+    # default, lazy persist under REDEN_SHARED_SUBTREE=lazy (never a lazy
+    # localCheckpoint, which re-executes the whole signature computation per
+    # concurrent AQE consumer)
     sigs = shared(minhash_signatures(docs, n_hashes, shingle_n))
     banded = sigs.select(
         "doc_id",

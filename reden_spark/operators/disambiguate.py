@@ -408,12 +408,11 @@ def disambiguate(
     # misses differently-pruned subplans) — the duplicated subtree was the
     # single largest task-time block of the links stage in the event-log
     # profile (2x ~19 task-seconds on the 607k-turn bench corpus).
-    # shared() = lazy persist by default: the subtrees materialize INSIDE the
-    # single consuming query (block-level dedup across AQE's concurrent stage
-    # submissions; a lazy localCheckpoint instead re-executes the upstream per
-    # consumer — round-2 trap), so the round-3 links-stage floor of 3-4
-    # back-to-back serial checkpoint jobs (avg parallelism 11/32) disappears
-    # along with their fixed job-submission latency. These frames are
+    # shared() = eager checkpoint barrier by default (A/B-measured best here);
+    # REDEN_SHARED_SUBTREE=lazy flips every such site to a lazy persist that
+    # materializes inside the single consuming query with block-level dedup
+    # (never a lazy localCheckpoint, which re-executes the upstream per
+    # concurrent AQE consumer — round-2 trap). These frames are
     # conversation-grain (tiny vs the turn table).
     members_ok = shared(_group_members(cand_ok))
 
