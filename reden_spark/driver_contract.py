@@ -1168,6 +1168,90 @@ FROM packed p JOIN clusters c USING (doc_id)
 )
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministically injected PII (every 3rd
+    doc gains an email + phone + IPv4 in both engines — the synthetic corpus
+    contains none, so the injection is what makes the oracle exercise the
+    redaction rather than pass vacuously)."""
+    from .operators.textstats import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            base,
+            F.lit(" contact user"),
+            k,
+            F.lit("@mail.example.com or +1 555 010 "),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" at 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 now"),
+        ),
+    ).otherwise(base)
+    return redact_pii(docs.withColumn("text", injected))
+
+
+def _o_text_redact_pii() -> str:
+    from .operators.textstats import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example.com or +1 555 010 ' || CAST(doc_id % 100 AS VARCHAR)
+           || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now'
+         ELSE COALESCE(text, '') END AS t0
+  FROM documents
+), r1 AS (
+  SELECT doc_id, t0, regexp_replace(t0, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM d
+), r2 AS (
+  SELECT *, regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2 FROM r1
+), r3 AS (
+  SELECT *, regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS t3 FROM r2
+)
+SELECT doc_id,
+       len(regexp_extract_all(t0, '{PII_EMAIL}'))::INT AS n_emails,
+       len(regexp_extract_all(t1, '{PII_IPV4}'))::INT AS n_ips,
+       len(regexp_extract_all(t2, '{PII_PHONE}'))::INT AS n_phones,
+       md5(t3) AS redacted_md5
+FROM r3
+"""
+
+
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import quality_filter
+
+    return quality_filter(_read(spark, sf_dir, "documents"))
+
+
+def _o_text_quality_filter() -> str:
+    from .operators.textstats import STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws}))
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks)::INT AS n_words,
+         round(list_sum([len(x) FOR x IN toks])::DOUBLE / greatest(len(toks), 1), 6) AS mean_word_len,
+         round(len(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE / greatest(len(text), 1), 6) AS punct_ratio,
+         round(len(list_filter(toks, x -> x IN ({stoplist})))::DOUBLE / greatest(len(toks), 1), 6) AS stopword_ratio
+  FROM t
+)
+SELECT *,
+       (n_words BETWEEN 5 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
+        AND punct_ratio <= 0.3 AND stopword_ratio >= 0.01) AS passes
+FROM m
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_pairs
 
@@ -2678,14 +2762,16 @@ assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (
     set(QUERIES) ^ set(ORACLES),
 )
 
-# Near-duplicate / derivative rows retired from the driver-facing contract to
-# keep it inside the 50-row oracle window. Every entry still has its exact
-# DuckDB oracle and is verified by the same comparison in
-# tests/test_driver_contract.py; the operators they demonstrate remain
-# first-class (kg_links_grouped pins the applyInPandas §2.7 kernel against the
-# SAME oracle as kg_links; kg_mentions_relational pins the relational twin of
-# the mapInPandas detector; the rest are small derivative report sinks).
-RETIRED_QUERIES = {
+# Oracle-checked by PYTEST instead of the driver (tests/test_driver_contract.py
+# runs the union of both registries through the identical comparison): (a)
+# near-duplicate/derivative rows retired from the driver-facing contract to
+# keep it inside the 50-row oracle window — the operators they demonstrate
+# remain first-class (kg_links_grouped pins the applyInPandas §2.7 kernel
+# against the SAME oracle as kg_links; kg_mentions_relational pins the
+# relational twin of the mapInPandas detector; the rest are small derivative
+# report sinks) — and (b) round-4 additions awaiting a free driver slot
+# (PII redaction, Gopher-style quality gates).
+PYTEST_QUERIES = {
     "kg_links_grouped": q_kg_links_grouped,
     "kg_mentions_relational": q_kg_mentions_relational,
     "kg_annotated_turns": q_kg_annotated_turns,
@@ -2693,9 +2779,11 @@ RETIRED_QUERIES = {
     "kg_score_extract": q_kg_score_extract,
     "kg_occurrences": q_kg_occurrences,
     "kg_author_enrich": q_kg_author_enrich,
+    "text_redact_pii": q_text_redact_pii,
+    "text_quality_filter": q_text_quality_filter,
 }
 
-RETIRED_ORACLES = {
+PYTEST_ORACLES = {
     "kg_links_grouped": O_KG_LINKS,  # the grouped variant must match the same oracle
     "kg_mentions_relational": O_KG_MENTIONS,  # both detectors must match the same oracle
     "kg_annotated_turns": O_KG_ANNOTATED_TURNS,
@@ -2703,4 +2791,10 @@ RETIRED_ORACLES = {
     "kg_score_extract": O_KG_SCORE_EXTRACT,
     "kg_occurrences": O_KG_OCCURRENCES,
     "kg_author_enrich": O_KG_AUTHOR_ENRICH,
+    "text_redact_pii": _o_text_redact_pii(),
+    "text_quality_filter": _o_text_quality_filter(),
 }
+
+# back-compat alias (round-4 docs referred to these as the retired rows)
+RETIRED_QUERIES = PYTEST_QUERIES
+RETIRED_ORACLES = PYTEST_ORACLES

@@ -104,6 +104,89 @@ def fingerprint(docs: DataFrame, shingle_n: int = 5) -> DataFrame:
     )
 
 
+# PII patterns shared verbatim by the Spark expressions and the DuckDB oracle:
+# both engines' regex dialects (Java, RE2) treat \d, \b, and these character
+# classes identically (ASCII), which is what makes the redaction exactly
+# oracle-checkable. Replacement order matters and is part of the contract:
+# emails first (their digit runs must not count as phones), then IPv4 (dotted
+# quads would otherwise match the phone pattern), then phones on what remains.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d .-]{7,}\d"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing — the standard pre-training hygiene pass alongside dedup
+    and decontamination: replace emails / IPv4 addresses / phone-shaped digit
+    runs with typed placeholder tokens, counting each. Pure codegen
+    regexp_replace/regexp_count chain (no UDF); counts are taken against the
+    text state BEFORE that category's replacement (see pattern-order note
+    above). Returns (doc_id, n_emails, n_ips, n_phones, redacted_md5) — the
+    md5 fingerprints the redacted text so the frame stays narrow at any scale
+    (the redacted text itself would be written to the output table in a real
+    run; the fingerprint is what the oracle pins)."""
+    t0 = F.coalesce(F.col("text"), F.lit(""))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t0, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).alias("n_phones"),
+        F.md5(t3).alias("redacted_md5"),
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A1-flavored): hard per-doc
+    quality gates over word count, mean word length, symbol ratio and
+    stopword presence — the yes/no companion to :func:`quality_score`'s
+    soft score. Returns every doc with its rule inputs and a `passes` flag
+    (a real run keeps the flag column and filters downstream, preserving the
+    audit trail). All ratios quantized to 6 decimals before comparison so the
+    boolean is engine-stable."""
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_wl = F.round(total_chars.cast("double") / F.greatest(n_words, F.lit(1)), 6)
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.isin(all_stop))).cast("double")
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(F.col("text"), r"[\w\s]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)),
+        6,
+    )
+    passes = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (punct_ratio <= max_punct_ratio)
+        & (stop_ratio >= min_stopword_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        passes.alias("passes"),
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     """Per-document top-k terms by TF-IDF (doc_id, term, tf, df_docs, tfidf, rnk).
 

@@ -45,10 +45,10 @@ def normalize(rows, cols):
     return sorted(out)
 
 
-from reden_spark.driver_contract import RETIRED_ORACLES, RETIRED_QUERIES
+from reden_spark.driver_contract import PYTEST_ORACLES, PYTEST_QUERIES
 
-ALL_QUERIES = {**entrymod.queries(), **RETIRED_QUERIES}
-ALL_ORACLES = {**entrymod.oracle_sql(), **RETIRED_ORACLES}
+ALL_QUERIES = {**entrymod.queries(), **PYTEST_QUERIES}
+ALL_ORACLES = {**entrymod.oracle_sql(), **PYTEST_ORACLES}
 ORACLE_NAMES = sorted(ALL_ORACLES)
 
 

@@ -17,6 +17,18 @@ def run_stages(spark, tables):
     return mentions, candidates, cases, links
 
 
+def test_shared_subtree_lazy_mode_same_links(spark, tables, monkeypatch):
+    """REDEN_SHARED_SUBTREE=lazy (the documented no-barrier persist variant of
+    checkpointing.shared(), BENCH.md round 4) must produce links identical to
+    the default eager-checkpoint mode."""
+    _, _, _, links_eager = run_stages(spark, tables)
+    base = sorted(map(tuple, links_eager.collect()))
+    monkeypatch.setenv("REDEN_SHARED_SUBTREE", "lazy")
+    _, _, _, links_lazy = run_stages(spark, tables)
+    assert sorted(map(tuple, links_lazy.collect())) == base
+    assert len(base) > 100
+
+
 def test_mentions_match_oracle(spark, tables, py_tables):
     from reden_spark.functions.gazetteer import GazetteerMatcher
 
