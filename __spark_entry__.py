@@ -10,10 +10,10 @@ the chained curation_pipeline recipe, ANN family, text stats incl. TF-IDF,
 media decoders, stratified sampling); ALL 50 queries carry an exact DuckDB
 oracle (see reden_spark/driver_contract.py) — no rows-only entries remain.
 The contract is capped at 50 rows (the driver's per-round oracle budget);
-seven near-duplicate/derivative rows plus two round-4 extras (PII redaction,
-Gopher-style quality gates) are verified against the same kind of exact
-oracles by pytest instead (driver_contract.PYTEST_QUERIES,
-tests/test_driver_contract.py).
+seven near-duplicate/derivative rows plus three round-4 extras (PII
+redaction, Gopher-style quality gates, boundary-respecting greedy packing)
+are verified against the same kind of exact oracles by pytest instead
+(driver_contract.PYTEST_QUERIES, tests/test_driver_contract.py).
 """
 
 from __future__ import annotations

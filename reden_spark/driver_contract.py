@@ -1018,6 +1018,38 @@ SELECT doc_id, shard, n_tokens::INT AS n_tokens, start_offset,
 """
 
 
+def q_doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting greedy packing (applyInPandas kernel — the per-shard
+    fill state is a prefix-dependent recursion no window frame expresses; the
+    oracle states the identical recursion as a recursive CTE)."""
+    from .operators.curation import pack_sequences_greedy
+
+    return pack_sequences_greedy(_read(spark, sf_dir, "documents"), budget=512, n_shards=8)
+
+
+O_DOC_PACK_GREEDY = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+         len(list_filter(string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' '),
+                         t -> t <> '')) AS n_tokens
+  FROM documents
+), ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM toks
+), packed(shard, rn, doc_id, n_tokens, seq_idx, off, fill) AS (
+  SELECT shard, rn, doc_id, n_tokens, 0::BIGINT, 0::BIGINT, n_tokens::BIGINT
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.fill + o.n_tokens <= 512 THEN p.seq_idx ELSE p.seq_idx + 1 END,
+         CASE WHEN p.fill + o.n_tokens <= 512 THEN p.fill ELSE 0 END,
+         CASE WHEN p.fill + o.n_tokens <= 512 THEN p.fill + o.n_tokens ELSE o.n_tokens::BIGINT END
+  FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens::INT AS n_tokens, seq_idx, off AS offset_in_seq FROM packed
+"""
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition of the curation operators: the 20% stratified sample is the
     eval holdout; the remaining 80% is the training corpus, decontaminated
@@ -2781,6 +2813,7 @@ PYTEST_QUERIES = {
     "kg_author_enrich": q_kg_author_enrich,
     "text_redact_pii": q_text_redact_pii,
     "text_quality_filter": q_text_quality_filter,
+    "doc_pack_greedy": q_doc_pack_greedy,
 }
 
 PYTEST_ORACLES = {
@@ -2793,6 +2826,7 @@ PYTEST_ORACLES = {
     "kg_author_enrich": O_KG_AUTHOR_ENRICH,
     "text_redact_pii": _o_text_redact_pii(),
     "text_quality_filter": _o_text_quality_filter(),
+    "doc_pack_greedy": O_DOC_PACK_GREEDY,
 }
 
 # back-compat alias (round-4 docs referred to these as the retired rows)

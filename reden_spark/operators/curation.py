@@ -120,6 +120,55 @@ def pack_sequences(docs: DataFrame, budget: int = 512, n_shards: int = 8) -> Dat
     ).withColumn("seq_idx", (F.col("start_offset") / budget).cast("long"))
 
 
+def pack_sequences_greedy(docs: DataFrame, budget: int = 512, n_shards: int = 8) -> DataFrame:
+    """Boundary-respecting sequence packing: greedy first-fit in doc_id order
+    within each shard — a document NEVER straddles a sequence boundary (the
+    alternative packing discipline to :func:`pack_sequences`' concat-and-
+    chunk; used when examples must stay whole, e.g. SFT corpora). A doc that
+    does not fit the current sequence's remaining budget opens the next
+    sequence; an over-budget doc gets a sequence of its own. Returns
+    (doc_id, shard, n_tokens, seq_idx, offset_in_seq).
+
+    The per-shard fill state is a prefix-dependent recursion (each doc's
+    placement depends on every earlier placement), which no window frame
+    expresses — this is exactly the applyInPandas escape hatch (SURVEY.md
+    §2.7): one grouped kernel per shard, arriving sorted in one Arrow batch
+    stream. The DuckDB oracle states the same recursion as a recursive CTE.
+    Scale shape: n_shards independent groups (set ~ writer parallelism);
+    state per group is three integers.
+    """
+    import pandas as pd
+
+    from .textstats import tokens
+
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    toks = docs.select(
+        "doc_id",
+        F.pmod(h, F.lit(n_shards)).alias("shard"),
+        F.size(F.filter(tokens(F.col("text")), lambda t: t != "")).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq, fill = -1, budget + 1  # force a new sequence for the first doc
+        seqs, offs = [], []
+        for n in pdf["n_tokens"]:
+            if fill + n <= budget:
+                offs.append(fill)
+                fill += n
+            else:
+                seq += 1
+                offs.append(0)
+                fill = n
+            seqs.append(seq)
+        pdf["seq_idx"] = pd.Series(seqs, dtype="int64")
+        pdf["offset_in_seq"] = pd.Series(offs, dtype="int64")
+        return pdf
+
+    schema = "doc_id long, shard long, n_tokens int, seq_idx long, offset_in_seq long"
+    return toks.groupBy("shard").applyInPandas(pack, schema)
+
+
 def decontaminate(docs: DataFrame, holdout: DataFrame, shingle_n: int = 8) -> DataFrame:
     """Benchmark decontamination: flag every training doc that shares at least
     one word `shingle_n`-gram with any holdout/eval doc. Returns

@@ -273,3 +273,37 @@ def test_stream_dedup_exact_first_arrival_wins(spark, tmp_path):
     assert len(got) == len(keys_in)  # one survivor per distinct content key
     assert {r["content_key"] for r in got} == keys_in
     assert all(r["doc_id"] < 10_000 for r in got)  # first arrival (original) wins
+
+
+def test_stream_redact_pii_equals_batch(spark, tmp_path):
+    """PII redaction is a stateless codegen projection, so it runs unchanged on
+    a stream: an availableNow drain must equal the batch operator row-for-row
+    (with real PII planted so the redaction actually fires)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from reden_spark.operators.textstats import redact_pii
+    from reden_spark.streaming.ingest import run_available_now
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            "text", F.lit(" mail a.b@x.io or ring +1 555 010 7788 from 192.168.0.1")
+        ).alias("text"),
+    )
+    src = tmp_path / "pii_in"
+    src.mkdir()
+    base.coalesce(1).write.parquet(str(tmp_path / "w_pii"))
+    part = next((tmp_path / "w_pii").glob("part-*.parquet"))
+    shutil.copy(part, src / "f0.parquet")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out, ckpt = str(tmp_path / "out_pii"), str(tmp_path / "ckpt_pii")
+    run_available_now(redact_pii(stream), out, ckpt)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, redact_pii(base).collect()))
+    assert got == want
+    assert all(r[1] >= 1 and r[2] >= 1 and r[3] >= 1 for r in want)  # email/ip/phone all fired
