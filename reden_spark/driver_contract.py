@@ -49,8 +49,27 @@ PRED_ASSOC = "http://kb.test/pred/assoc"
 # ---------------------------------------------------------------------------
 
 
+_READ_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Plan-level memo of the table scans: every `spark.read.parquet` call
+    pays a driver-side listing + footer schema read (~0.2-0.4 s each on this
+    host), and one contract query's derivation chain re-reads events/nation
+    several times. The cached object is just the unexecuted scan plan —
+    results are identical; the fingerprint key invalidates on regenerated
+    files (same discipline as _kg_stack)."""
+    key = (
+        spark.sparkContext.applicationId,
+        str(sf_dir),
+        name,
+        _sf_fingerprint(str(sf_dir)),
+    )
+    hit = _READ_CACHE.get(key)
+    if hit is None:
+        _evict_stale(_READ_CACHE, key[0], key)
+        hit = _READ_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return hit
 
 
 def derive_turns_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
