@@ -934,10 +934,12 @@ _DUCK_MINHASH_JP = """
   ) WHERE jaccard >= 0.5
 )"""
 
-O_DEDUP_CLUSTERS = (
-    _DUCK_SHINGLES.format(nm1=2).replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
-    + _DUCK_MINHASH_JP
-    + """
+# Connected components of a pair set `jp(doc_a, doc_b)` as a recursive
+# reachability CTE + the keep-best-doc policy — the shared tail of every
+# dedup-clustering oracle (min reachable id = cluster label, identical to the
+# Spark operator's min-URI-of-component semantics; keep = argmax
+# (n_chars, -doc_id); singletons their own kept cluster).
+_DUCK_CC_KEEP_TAIL = """
 , dedges AS (
   SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp
 ), dnodes AS (
@@ -958,6 +960,11 @@ SELECT a.doc_id, a.cluster_id, s.cluster_size,
        row_number() OVER (PARTITION BY a.cluster_id ORDER BY a.n_chars DESC, a.doc_id ASC) = 1 AS keep
 FROM asg a JOIN csz s USING (cluster_id)
 """
+
+O_DEDUP_CLUSTERS = (
+    _DUCK_SHINGLES.format(nm1=2).replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    + _DUCK_MINHASH_JP
+    + _DUCK_CC_KEEP_TAIL
 )
 
 
@@ -1539,6 +1546,43 @@ SELECT id_a, id_b, sim FROM (
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ) WHERE sim >= 0.3
 """
+
+
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape): the
+    near-dup pair graph comes from EMBEDDING similarity (sign-LSH blocked,
+    verified cosine — operators/similarity.pairwise_dup_candidates) instead of
+    lexical shingles, then the same transitive-clustering + keep-best-doc
+    policy as dedup_clusters. vec_id is the corpus doc_id (one embedding per
+    document). Catches paraphrase-level duplicates MinHash cannot see; at
+    100 TB the pair stage is the IVF/LSH-bucketed similarity join, never
+    all-pairs."""
+    from .operators.curation import dedup_clusters
+    from .operators.similarity import EMB_DIM, pairwise_dup_candidates
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = pairwise_dup_candidates(
+        _read(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4, expect_dim=EMB_DIM
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return dedup_clusters(docs, pairs)
+
+
+def _o_dedup_semantic_clusters() -> str:
+    from .operators.similarity import EMB_DIM, signlsh_bucket_sql
+
+    bucket = signlsh_bucket_sql("embedding", EMB_DIM, n_planes=4)
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return (
+        f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+jp AS (
+  SELECT id_a AS doc_a, id_b AS doc_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ) WHERE sim >= 0.3
+)"""
+        + _DUCK_CC_KEEP_TAIL
+    )
 
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2833,6 +2877,7 @@ PYTEST_QUERIES = {
     "text_redact_pii": q_text_redact_pii,
     "text_quality_filter": q_text_quality_filter,
     "doc_pack_greedy": q_doc_pack_greedy,
+    "dedup_semantic_clusters": q_dedup_semantic_clusters,
 }
 
 PYTEST_ORACLES = {
@@ -2846,6 +2891,7 @@ PYTEST_ORACLES = {
     "text_redact_pii": _o_text_redact_pii(),
     "text_quality_filter": _o_text_quality_filter(),
     "doc_pack_greedy": O_DOC_PACK_GREEDY,
+    "dedup_semantic_clusters": _o_dedup_semantic_clusters(),
 }
 
 # back-compat alias (round-4 docs referred to these as the retired rows)
