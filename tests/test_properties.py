@@ -1,135 +1,120 @@
-"""config.properties loader + offline SemiAutomaticTEIAnnotation parity."""
+"""Property-based tests (hypothesis) — the reference has no randomized testing
+(SURVEY.md §5); these pin invariants that example-based tests cannot sweep:
 
-import textwrap
+* JVM/Python twin agreement of the normalization/decompose scalar functions on
+  arbitrary unicode (the (?U)-flag class of bug that bit round 2 via NBSP);
+* greedy sequence packing invariants (budget respected, offsets are exact
+  running sums, every doc packed exactly once, seq ids contiguous) against
+  randomized token-length distributions.
 
-import pytest
+Each example batches many generated values through ONE Spark action so the
+suite stays fast (Spark round-trips dominate, not example count).
+"""
 
-from reden_spark.plans.properties import load_properties, nel_config_from_properties
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
-REFERENCE_SHAPED = textwrap.dedent(
-    """\
-    #CONFIG NAMED ENTITY LINKING
-    #1) namedEntityTag ...
-    namedEntityTag=persName[not(@type='character')]
-    #2) NERclassName ...
-    NERclassName=PER
-    #3) baseURIs ...
-    baseURIs= http://kb.test/base/, http://other.kb/
-    #4)
-    centralityMeasure=DegreeCentrality
-    #5)
-    useDicoIndex=true
-    #6)
-    indexDir=dico/indexedDictionary/PER-31012016/
-    #7)
-    preferedURIOrder=ALL
-    #8) (deprecated)
-    useGlobalCentrality=false
-    #9)
-    nameMainFolderDico= dico/dictionary/PER-31012016/
-    #10)
-    rdfData=data
-    #11)
-    propertyTagRef=ref_auto
-    #12)
-    xpathExpresion=//body/div
-    #13)
-    addScores=false
-    #14)
-    crawlSameAs=ALL
-    #15)
-    sameAsproperty=http://www.w3.org/2002/07/owl#sameAs
-    #16)
-    KBsLocalNoNetwork=true
+from reden_spark.functions.text import (
+    decompose_py,
+    normalize_mention,
+    normalize_mention_py,
+)
 
-    #CONFIG LINKED DATA CRAWLER
-    outDictionnaireDir=dico/dictionary/PER-05022016TEST
-    greaterThan=-1
-    lesserThan=01/01/1900
-    spatialExtent=
-    """
+TEXTISH = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=30
 )
 
 
-def test_load_properties_parses_reference_shape(tmp_path):
-    f = tmp_path / "config.properties"
-    f.write_text(REFERENCE_SHAPED)
-    props = load_properties(f)
-    assert props["namedEntityTag"] == "persName[not(@type='character')]"
-    assert props["baseURIs"] == "http://kb.test/base/, http://other.kb/"
-    assert props["preferedURIOrder"] == "ALL"
-    assert props["lesserThan"] == "01/01/1900"
-    assert props["spatialExtent"] == ""
-    assert len(props) == 20  # 16 NEL keys + 4 crawler keys
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXTISH, min_size=1, max_size=150))
+def test_normalize_jvm_equals_python_twin(spark, strings):
+    """The JVM Column expression and the Python twin must agree on arbitrary
+    unicode — they are used as join keys on opposite sides (dico build vs
+    mention kernel), so ANY divergence silently drops candidates."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = [r[0] for r in df.select(normalize_mention("s")).collect()]
+    want = [normalize_mention_py(s) for s in strings]
+    assert got == want
 
 
-def test_load_properties_continuation_and_colon(tmp_path):
-    f = tmp_path / "c.properties"
-    f.write_text("a=1\\\n2\nb: with spaces \n! bang comment\n")
-    props = load_properties(f)
-    assert props == {"a": "12", "b": "with spaces"}
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TEXTISH, min_size=1, max_size=200))
+def test_normalize_idempotent(strings):
+    for s in strings:
+        once = normalize_mention_py(s)
+        assert normalize_mention_py(once) == once
+        assert not any(c in once for c in (" ", "'", "-", " ", "\t"))
 
 
-def test_nel_config_from_properties(tmp_path):
-    f = tmp_path / "config.properties"
-    f.write_text(REFERENCE_SHAPED)
-    cfg, extras, dropped = nel_config_from_properties(f)
-    assert cfg.base_prefix == "http://kb.test/base/"  # first baseURIs value
-    assert cfg.preferred_uri == "ALL"
-    assert cfg.centrality == "DegreeCentrality"
-    assert cfg.crawl_sameas == "ALL"
-    assert cfg.sameas_pred.endswith("#sameAs")
-    assert extras["ref_attr"] == "ref_auto"
-    assert extras["add_scores"] is False
-    assert extras["birth_after"] is None  # greaterThan=-1
-    assert extras["death_before"] == 1900  # lesserThan=01/01/1900
-    # every dropped key carries a documented reason
-    assert set(dropped) == {
-        "useDicoIndex",
-        "indexDir",
-        "nameMainFolderDico",
-        "rdfData",
-        "KBsLocalNoNetwork",
-        "useGlobalCentrality",
-        "spatialExtent",
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=200))
+def test_decompose_idempotent_on_decoded(strings):
+    """decompose (URL-decode of http: URIs) must be stable when re-applied to
+    its own output wherever the output no longer contains %-escapes — the
+    graph fusion folds vertices by decomposed form, so instability would
+    split vertices."""
+    for s in strings:
+        once = decompose_py("http:" + s)
+        if "%" not in once:
+            assert decompose_py(once) == once
+
+
+def _pack_reference(rows, budget):
+    """Independent restatement of greedy first-fit packing per shard."""
+    out = {}
+    by_shard = {}
+    for doc_id, shard, n in sorted(rows):
+        by_shard.setdefault(shard, []).append((doc_id, n))
+    for shard, docs in by_shard.items():
+        seq, fill = -1, budget + 1
+        for doc_id, n in docs:
+            if fill + n <= budget:
+                off = fill
+                fill += n
+            else:
+                seq += 1
+                off = 0
+                fill = n
+            out[doc_id] = (shard, n, seq, off)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=120),
+    st.integers(min_value=32, max_value=512),
+)
+def test_pack_sequences_greedy_invariants(spark, token_counts, budget):
+    """Operator output equals an independent reference implementation, and the
+    packing invariants hold: every doc exactly once; per (shard, seq) either
+    total <= budget or the sequence is a single over-budget doc; offsets are
+    the exact running sums; seq ids contiguous from 0."""
+    from reden_spark.operators.curation import pack_sequences_greedy
+
+    docs = spark.createDataFrame(
+        [(i, "w " * n) for i, n in enumerate(token_counts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.shard, r.n_tokens, r.seq_idx, r.offset_in_seq)
+        for r in pack_sequences_greedy(docs, budget=budget, n_shards=4).collect()
     }
-    assert all(dropped.values())
+    assert len(got) == len(token_counts)  # every doc exactly once
 
+    rows = [(doc_id, v[0], v[1]) for doc_id, v in got.items()]
+    assert got == _pack_reference(rows, budget)
 
-def test_nel_config_requires_base(tmp_path):
-    f = tmp_path / "bad.properties"
-    f.write_text("preferedURIOrder=ALL\n")
-    with pytest.raises(ValueError, match="baseURIs"):
-        nel_config_from_properties(f)
-
-
-def test_preannotate_offline_equivalences(spark):
-    """SemiAutomaticTEIAnnotation restated offline: ref_new lists the gold
-    URI's equivalence-class members in the target base; isolated base URIs
-    keep themselves; URIs with no base-KB equivalent get NULL."""
-    from reden_spark.operators.preannotate import preannotate
-
-    base = "http://kb.test/base/"
-    gold = spark.createDataFrame(
-        [
-            ("c1", 0, 0, "Hugo", "http://ext.kb/h1"),     # chained into base/e1, base/e2
-            ("c1", 1, 0, "Roche", "http://kb.test/base/e9"),  # isolated base URI -> itself
-            ("c2", 0, 0, "Nil", "http://ext.kb/orphan"),  # no base equivalent -> NULL
-        ],
-        "conv_id string, turn_idx int, occ_idx int, mention string, gold_uri string",
+    df = pd.DataFrame(
+        [(d, s, n, q, o) for d, (s, n, q, o) in got.items()],
+        columns=["doc_id", "shard", "n", "seq", "off"],
     )
-    kb_edges = spark.createDataFrame(
-        [
-            ("http://ext.kb/h1", "http://www.w3.org/2002/07/owl#sameAs", "http://kb.test/base/e1", 1.0),
-            ("http://kb.test/base/e1", "http://purl.org/other", "http://kb.test/base/zzz", 1.0),
-        ],
-        "subj string, pred string, obj string, weight double",
-    )
-    dico = spark.createDataFrame(
-        [("hugo", "Hugo", ["http://kb.test/base/e1", "http://kb.test/base/e2"])],
-        "alias_norm string, alias string, uris array<string>",
-    )
-    out = {r.mention: r.ref_new for r in preannotate(gold, kb_edges, dico, base).collect()}
-    assert out["Hugo"] == "http://kb.test/base/e1 http://kb.test/base/e2"
-    assert out["Roche"] == "http://kb.test/base/e9"
-    assert out["Nil"] is None
+    for (_, seq), grp in df.groupby(["shard", "seq"]):
+        total = grp["n"].sum()
+        assert total <= budget or len(grp) == 1
+        grp = grp.sort_values("doc_id")
+        assert list(grp["off"]) == list(grp["n"].cumsum().shift(fill_value=0))
+    for _, grp in df.groupby("shard"):
+        seqs = sorted(grp["seq"].unique())
+        assert seqs == list(range(len(seqs)))
