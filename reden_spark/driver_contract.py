@@ -939,7 +939,10 @@ _DUCK_MINHASH_JP = """
 # dedup-clustering oracle (min reachable id = cluster label, identical to the
 # Spark operator's min-URI-of-component semantics; keep = argmax
 # (n_chars, -doc_id); singletons their own kept cluster).
-_DUCK_CC_KEEP_TAIL = """
+# CTE-only form (ends with a `clusters` CTE) so composite oracles
+# (O_CURATION_PIPELINE) can keep chaining; _DUCK_CC_KEEP_TAIL adds the final
+# select for the standalone clustering oracles.
+_DUCK_CC_CLUSTERS = """
 , dedges AS (
   SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp
 ), dnodes AS (
@@ -955,11 +958,15 @@ _DUCK_CC_KEEP_TAIL = """
   FROM documents d LEFT JOIN lbl l USING (doc_id)
 ), csz AS (
   SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1
+), clusters AS (
+  SELECT a.doc_id, a.cluster_id, s.cluster_size,
+         row_number() OVER (PARTITION BY a.cluster_id ORDER BY a.n_chars DESC, a.doc_id ASC) = 1 AS keep
+  FROM asg a JOIN csz s USING (cluster_id)
+)"""
+
+_DUCK_CC_KEEP_TAIL = (
+    _DUCK_CC_CLUSTERS + "\nSELECT doc_id, cluster_id, cluster_size, keep FROM clusters\n"
 )
-SELECT a.doc_id, a.cluster_id, s.cluster_size,
-       row_number() OVER (PARTITION BY a.cluster_id ORDER BY a.n_chars DESC, a.doc_id ASC) = 1 AS keep
-FROM asg a JOIN csz s USING (cluster_id)
-"""
 
 O_DEDUP_CLUSTERS = (
     _DUCK_SHINGLES.format(nm1=2).replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
@@ -1156,27 +1163,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_CURATION_PIPELINE = (
     _DUCK_SHINGLES.format(nm1=2).replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
     + _DUCK_MINHASH_JP
+    + _DUCK_CC_CLUSTERS
     + """
-, dedges AS (
-  SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp
-), dnodes AS (
-  SELECT DISTINCT a AS v FROM dedges
-), reach(src, dst) AS (
-  SELECT v, v FROM dnodes
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN dedges e ON r.dst = e.a
-), lbl AS (
-  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
-), asg AS (
-  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
-  FROM documents d LEFT JOIN lbl l USING (doc_id)
-), csz AS (
-  SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1
-), clusters AS (
-  SELECT a.doc_id, a.cluster_id, s.cluster_size,
-         row_number() OVER (PARTITION BY a.cluster_id ORDER BY a.n_chars DESC, a.doc_id ASC) = 1 AS keep
-  FROM asg a JOIN csz s USING (cluster_id)
-), hashed AS (
+, hashed AS (
   SELECT doc_id, lang AS stratum,
          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
   FROM documents

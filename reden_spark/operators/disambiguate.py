@@ -183,10 +183,11 @@ def pruned_edges(
     # so the explode subtree runs once per stage, not once per consumer.
     if colored is None:
         # colored feeds 3 subtrees of one query (anti-join, bridge join,
-        # survivors union): shared() = lazy persist by default (block-level
-        # dedup, no barrier job); NEVER a lazy localCheckpoint, which races
-        # under AQE's concurrent stage submission and re-executes the explode
-        # per consumer
+        # survivors union): shared() = eager checkpoint barrier by default
+        # (A/B-measured, BENCH.md r4 §2), lazy persist under
+        # REDEN_SHARED_SUBTREE=lazy; NEVER a lazy localCheckpoint, which
+        # races under AQE's concurrent stage submission and re-executes the
+        # explode per consumer
         colored = shared(colored_nodes(candidates, cfg, members=members))
     # inv is consumed once (bridge_counts) — no checkpoint, no barrier
     inv = inverted_index(candidates, members=members)
@@ -204,9 +205,10 @@ def pruned_edges(
         .agg(F.countDistinct("inv_mention").alias("n_mentions"))
     )
     # survivors feeds BOTH semi-joins of one query — AQE materializes their
-    # build sides concurrently; shared() dedupes at the block level (or, under
-    # REDEN_SHARED_SUBTREE=eager, pays the eager checkpoint barrier). A lazy
-    # localCheckpoint would race (each stage re-executing the union+distinct).
+    # build sides concurrently; shared() = eager checkpoint barrier by
+    # default (block-level-deduped lazy persist under
+    # REDEN_SHARED_SUBTREE=lazy). A lazy localCheckpoint would race (each
+    # stage re-executing the union+distinct).
     survivors = (
         colored.unionByName(bridge_counts.filter(F.col("n_mentions") >= 2).select("conv_id", "v"))
         .distinct()

@@ -83,17 +83,21 @@ def file_terms_handle(terms: DataFrame, path: str) -> dict:
 
 def _terms_fingerprint(path: str) -> str | None:
     """Digest of (name, size, mtime) of the parquet files under `path`; None
-    when the path is not locally statable (e.g. a DFS URI — there the writer
-    should hand out a fresh path per gazetteer version instead)."""
+    when the path is not locally statable (e.g. a DFS URI, where rglob simply
+    yields nothing rather than raising — a digest-of-nothing would be the
+    SAME constant for every remote path and defeat the cache key; on a DFS
+    the writer should hand out a fresh path per gazetteer version instead)."""
     import hashlib
     from pathlib import Path as _P
 
     try:
         h = hashlib.md5()
+        n = 0
         for f in sorted(_P(path).rglob("*.parquet")):
             st = f.stat()
             h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
-        return h.hexdigest()
+            n += 1
+        return h.hexdigest() if n else None
     except OSError:
         return None
 

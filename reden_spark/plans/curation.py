@@ -35,20 +35,28 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.curation import (
+# absolute imports + bootstrap so the module works BOTH as a package member
+# and as a bare script path handed to spark-submit (which runs the file as
+# __main__ with no parent package — relative imports would raise ImportError
+# before main() ever ran)
+if __package__ in (None, ""):
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from reden_spark.operators.curation import (  # noqa: E402
     decontaminate,
     dedup_clusters,
     pack_sequences,
     stratified_sample,
 )
-from ..operators.dedup import minhash_lsh_pairs
-from ..sources import storage
+from reden_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from reden_spark.sources import storage  # noqa: E402
 
 STAGES = ["pairs", "clusters", "holdout", "decontam", "packed"]
 
@@ -149,9 +157,7 @@ def run_curation(
 
 def main() -> None:
     import os
-    import sys
 
-    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
     from reden_spark.session import get_spark
 
     ap = argparse.ArgumentParser(description="training-data curation pipeline")

@@ -7,25 +7,36 @@ Iceberg via sources.storage) with per-partition lineage counters; `--from-stage`
 (or a missing/invalidated manifest) recomputes from that point — the north rule's
 resumability contract. Launchable via spark-submit --py-files as
 
-    spark-submit --py-files reden_spark.zip -m ... reden_spark/plans/pipeline.py \
+    spark-submit --py-files dist/reden_spark.zip reden_spark/plans/pipeline.py \
         --data-dir /root/testdata/... --out-dir /tmp/kg_out
+
+(or `python -m reden_spark.plans.pipeline ...` locally — the module runs both
+as a package member and as a bare script path).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.candidates import conversation_cases, generate_candidates
-from ..operators.canonicalize import materialize_triples
-from ..operators.disambiguate import NELConfig, disambiguate
-from ..operators.evaluate import eval_records, hachey_metrics
-from ..operators.mentions import detect_mentions
-from ..sources import storage
+# absolute imports + bootstrap so the module works BOTH as a package member
+# and as a bare script path handed to spark-submit (which runs the file as
+# __main__ with no parent package — relative imports would raise ImportError
+# before main() ever ran)
+if __package__ in (None, ""):
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from reden_spark.operators.candidates import conversation_cases, generate_candidates  # noqa: E402
+from reden_spark.operators.canonicalize import materialize_triples  # noqa: E402
+from reden_spark.operators.disambiguate import NELConfig, disambiguate  # noqa: E402
+from reden_spark.operators.evaluate import eval_records, hachey_metrics  # noqa: E402
+from reden_spark.operators.mentions import detect_mentions  # noqa: E402
+from reden_spark.sources import storage  # noqa: E402
 
 STAGES = ["mentions", "candidates", "links", "triples", "metrics"]
 
@@ -62,7 +73,7 @@ def run_pipeline(
     out.mkdir(parents=True, exist_ok=True)
 
     if checkpoint_mode is not None:
-        from ..checkpointing import set_checkpoint_mode
+        from reden_spark.checkpointing import set_checkpoint_mode
 
         set_checkpoint_mode(checkpoint_mode)
         if checkpoint_mode == "reliable" and spark.sparkContext._jsc.sc().checkpointDir().isEmpty():
@@ -207,7 +218,7 @@ def run_pipeline(
         def compute_links() -> DataFrame:
             cases = conversation_cases(mentions, candidates)
             if use_grouped:
-                from ..operators.grouped import disambiguate_grouped
+                from reden_spark.operators.grouped import disambiguate_grouped
 
                 return disambiguate_grouped(mentions, candidates, kb_edges, rel_weights, cases, cfg)
             return disambiguate(mentions, candidates, kb_edges, rel_weights, cases, cfg)
