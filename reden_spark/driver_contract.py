@@ -1537,6 +1537,87 @@ SELECT id_a, id_b, sim FROM (
 """
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse cells + product-quantized ADC scan
+    (operators/similarity.ivf_pq_topk) — build and probe both restated exactly
+    by the oracle (deterministic first-n codebooks, 6-decimal-quantized
+    distances, fixed-order ADC sum)."""
+    from .operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _read(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_list=8, n_probe=2, m=4, n_codes=8
+    )
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    )
+
+
+def _o_ann_ivf_pq() -> str:
+    sw, m = 16, 4  # EMB_DIM=64 split into 4 subspaces of 16
+    cos = _sql_cosine("e.embedding", "c.cvec")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+), csim AS (
+  SELECT e.vec_id, e.embedding, c.cid, {cos} AS csim
+  FROM embeddings e, cent c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM csim
+), assigned AS (
+  SELECT vec_id, embedding, cid FROM ranked WHERE crn = 1
+), subsrc AS (SELECT unnest(range(0, {m})) AS sub),
+cwsrc AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+), cw AS (
+  SELECT s.sub, w.code, list_slice(w.embedding, s.sub*{sw}+1, s.sub*{sw}+{sw}) AS cwvec
+  FROM cwsrc w, subsrc s
+), enc AS (
+  SELECT vec_id, cid, sub, code FROM (
+    SELECT a.vec_id, a.cid, w.sub, w.code,
+           round({_sql_l2sq(f"list_slice(a.embedding, w.sub*{sw}+1, w.sub*{sw}+{sw})", "w.cwvec")}, 6) AS dist,
+           row_number() OVER (
+             PARTITION BY a.vec_id, w.sub
+             ORDER BY round({_sql_l2sq(f"list_slice(a.embedding, w.sub*{sw}+1, w.sub*{sw}+{sw})", "w.cwvec")}, 6), w.code
+           ) AS rn
+    FROM assigned a, cw w
+  ) WHERE rn = 1
+), codes AS (
+  SELECT vec_id, cid,
+         min(CASE WHEN sub = 0 THEN code END) AS c0,
+         min(CASE WHEN sub = 1 THEN code END) AS c1,
+         min(CASE WHEN sub = 2 THEN code END) AS c2,
+         min(CASE WHEN sub = 3 THEN code END) AS c3
+  FROM enc GROUP BY 1, 2
+), dt AS (
+  SELECT q.vec_id AS query_id, w.sub, w.code,
+         round({_sql_l2sq(f"list_slice(q.embedding, w.sub*{sw}+1, w.sub*{sw}+{sw})", "w.cwvec")}, 6) AS qd
+  FROM embeddings q, cw w WHERE q.vec_id IN (0, 1, 2, 3, 4)
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM ranked WHERE crn <= 2 AND vec_id IN (0, 1, 2, 3, 4)
+), cand AS (
+  SELECT p.query_id, k.vec_id AS neighbor_id,
+         round(d0.qd + d1.qd + d2.qd + d3.qd, 6) AS adist
+  FROM probes p
+  JOIN codes k USING (cid)
+  JOIN dt d0 ON d0.query_id = p.query_id AND d0.sub = 0 AND d0.code = k.c0
+  JOIN dt d1 ON d1.query_id = p.query_id AND d1.sub = 1 AND d1.code = k.c1
+  JOIN dt d2 ON d2.query_id = p.query_id AND d2.sub = 2 AND d2.code = k.c2
+  JOIN dt d3 ON d3.query_id = p.query_id AND d3.sub = 3 AND d3.code = k.c3
+  WHERE k.vec_id != p.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
+
+
 def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape): the
     near-dup pair graph comes from EMBEDDING similarity (sign-LSH blocked,
@@ -2867,6 +2948,7 @@ PYTEST_QUERIES = {
     "text_quality_filter": q_text_quality_filter,
     "doc_pack_greedy": q_doc_pack_greedy,
     "dedup_semantic_clusters": q_dedup_semantic_clusters,
+    "ann_ivf_pq": q_ann_ivf_pq,
 }
 
 PYTEST_ORACLES = {
@@ -2881,6 +2963,7 @@ PYTEST_ORACLES = {
     "text_quality_filter": _o_text_quality_filter(),
     "doc_pack_greedy": O_DOC_PACK_GREEDY,
     "dedup_semantic_clusters": _o_dedup_semantic_clusters(),
+    "ann_ivf_pq": _o_ann_ivf_pq(),
 }
 
 # back-compat alias (round-4 docs referred to these as the retired rows)

@@ -223,6 +223,124 @@ def ivf_topk(
     )
 
 
+def _l2sq(a, b):
+    """Squared L2 distance as a sequential JVM-side fold — index-ordered in
+    both engines (Spark `aggregate`, DuckDB `list_sum`), so rounded results
+    are bit-identical across them."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_list: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+) -> DataFrame:
+    """IVF-PQ ANN — the memory-compressed scale path (Jégou et al., TPAMI'11
+    shape): coarse IVF cells cut the candidate set, and product-quantized
+    codes replace raw vectors in the scan.
+
+    Build: the first-`n_list` coarse centroids assign every vector to a cell
+    (as :func:`ivf_topk`); each vector is then ENCODED as `m` codebook ids —
+    the embedding splits into m subvectors, and per subspace the codebook is
+    the subvectors of the first `n_codes` corpus vectors (deterministic init,
+    no RNG; distances quantized to 6 decimals before the argmin so the codes
+    are engine-portable). The corpus representation shrinks from dim floats
+    to m small ints per vector — at 100 TB the code table is what stays hot.
+
+    Probe (ADC — asymmetric distance computation): a query computes one
+    m x n_codes table of squared L2 distances to every codeword, then each
+    candidate's approximate distance is m table lookups summed in FIXED
+    subspace order (broadcast joins on (query_id, code); no float-sum-order
+    nondeterminism), over the `n_probe` nearest cells only. Ranking ascends
+    (adist, neighbor_id). Recall < 1 twice over (cell cut + quantization);
+    tests measure it against the exact baseline, and the DuckDB oracle
+    restates the entire build+probe exactly.
+    """
+    dim = len(embeddings.select("embedding").first()[0])
+    if dim % m:
+        raise ValueError(f"embedding width {dim} not divisible by m={m} subspaces")
+    sw = dim // m
+    spark = embeddings.sparkSession
+
+    cent = (
+        embeddings.orderBy("vec_id")
+        .limit(n_list)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    assigned = _nearest_cells(embeddings, cent, 1)
+
+    # codebooks: subvectors of the first n_codes vectors; tiny (m x n_codes
+    # rows) — the only data that touches the driver
+    first = sorted(
+        embeddings.orderBy("vec_id").limit(n_codes).collect(), key=lambda r: r.vec_id
+    )
+    cw = spark.createDataFrame(
+        [
+            (s, code, [float(x) for x in r.embedding[s * sw : (s + 1) * sw]])
+            for code, r in enumerate(first)
+            for s in range(m)
+        ],
+        "sub int, code int, cwvec array<double>",
+    )
+
+    def sub_slices(col):
+        return F.posexplode(F.array(*[F.slice(col, s * sw + 1, sw) for s in range(m)]))
+
+    # encode the corpus: per (vector, subspace) the nearest codeword
+    enc = (
+        assigned.select("vec_id", "cid", sub_slices(F.col("embedding")).alias("sub", "subv"))
+        .join(F.broadcast(cw), "sub")
+        .withColumn("dist", F.round(_l2sq(F.col("subv"), F.col("cwvec")), 6))
+        .groupBy("vec_id", "cid", "sub")
+        .agg(F.min(F.struct("dist", "code")).alias("best"))
+    )
+    codes = enc.groupBy("vec_id", "cid").agg(
+        *[
+            F.min(F.when(F.col("sub") == s, F.col("best.code"))).alias(f"c{s}")
+            for s in range(m)
+        ]
+    )
+
+    # per-query ADC distance tables (m x n_codes rows per query, broadcast)
+    q = embeddings.filter(F.col("vec_id").isin(query_ids))
+    dt = (
+        q.select(F.col("vec_id").alias("query_id"), sub_slices(F.col("embedding")).alias("sub", "qsubv"))
+        .join(F.broadcast(cw), "sub")
+        .withColumn("qd", F.round(_l2sq(F.col("qsubv"), F.col("cwvec")), 6))
+        .select("query_id", "sub", "code", "qd")
+    )
+
+    probes = _nearest_cells(q, cent, n_probe).select(
+        F.col("vec_id").alias("query_id"), "cid"
+    )
+    cand = (
+        probes.join(codes, "cid")
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    for s in range(m):
+        dts = dt.filter(F.col("sub") == s).select(
+            "query_id", F.col("code").alias(f"c{s}"), F.col("qd").alias(f"qd{s}")
+        )
+        cand = cand.join(F.broadcast(dts), ["query_id", f"c{s}"])
+    adist = F.round(sum(F.col(f"qd{s}") for s in range(m)), 6)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("adist", adist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def int_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     """Integer-valued sign-LSH hyperplanes in [-4, 4]. Integer weights keep the
     dot products exactly representable, so the identical formula evaluates to

@@ -641,3 +641,37 @@ def test_curation_edge_cases(docs, spark):
     full = stratified_sample(docs, fraction=1.0, stratum_col="lang").collect()
     assert len(full) == n
     assert all(r["n_take"] == r["n_stratum"] for r in full)
+
+
+def test_ivf_pq_topk_shape_and_candidate_parity(emb):
+    """IVF-PQ: dense ranks per query; the candidate SET (pre-quantization)
+    equals ivf_topk's at the same (n_list, n_probe) when both rank the full
+    candidate pool — quantization reorders within the pool but cannot invent
+    or drop candidates. Recall vs exact asserted only as a sanity floor (PQ
+    on random vectors is noisy by construction)."""
+    from reden_spark.operators.similarity import cosine_topk, ivf_pq_topk, ivf_topk
+
+    qids = [0, 1, 2, 3, 4]
+    rows = ivf_pq_topk(emb, qids, k=5, n_list=8, n_probe=2).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == set(qids)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+    # with k = corpus size, both IVF variants return the identical candidate
+    # pool (same cells probed) — only the order differs
+    big = 10_000
+    pq_pool = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_topk(emb, qids, k=big, n_list=8, n_probe=2).collect()
+    }
+    ivf_pool = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, qids, k=big, n_list=8, n_probe=2).collect()
+    }
+    assert pq_pool == ivf_pool
+
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(exact & approx) / len(exact) > 0.05  # sanity floor only
