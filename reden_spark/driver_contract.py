@@ -1269,6 +1269,25 @@ FROM r3
 """
 
 
+def q_text_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import pretoken_count
+
+    return pretoken_count(_read(spark, sf_dir, "documents"))
+
+
+def _o_text_pretoken_count() -> str:
+    from .operators.textstats import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(COALESCE(text, ''), '{pat}'))::INT AS n_pretokens,
+       len(string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' '))::INT AS n_words,
+       ceil(length(text) / 4)::INT AS n_subwords_est
+FROM documents
+"""
+
+
 def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import quality_filter
 
@@ -2949,6 +2968,7 @@ PYTEST_QUERIES = {
     "doc_pack_greedy": q_doc_pack_greedy,
     "dedup_semantic_clusters": q_dedup_semantic_clusters,
     "ann_ivf_pq": q_ann_ivf_pq,
+    "text_pretoken_count": q_text_pretoken_count,
 }
 
 PYTEST_ORACLES = {
@@ -2964,6 +2984,7 @@ PYTEST_ORACLES = {
     "doc_pack_greedy": O_DOC_PACK_GREEDY,
     "dedup_semantic_clusters": _o_dedup_semantic_clusters(),
     "ann_ivf_pq": _o_ann_ivf_pq(),
+    "text_pretoken_count": _o_text_pretoken_count(),
 }
 
 # back-compat alias (round-4 docs referred to these as the retired rows)

@@ -32,6 +32,30 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer pattern, restricted to the subset both regex
+# dialects (Java, RE2) implement identically: contraction suffixes, optional-
+# space letter runs, digit runs, symbol runs, whitespace runs. The canonical
+# pattern's trailing `\s+(?!\S)` lookahead is dropped — RE2 has no lookahead —
+# which only changes how a run of spaces before a token is split between two
+# whitespace matches; the COUNT of matches differs deterministically and both
+# engines state the identical pattern.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def pretoken_count(docs: DataFrame) -> DataFrame:
+    """BPE-ish token budgeting: count GPT-2-pretokenizer matches (the unit BPE
+    merges operate on — a far better tokens-per-doc estimate than whitespace
+    words or chars/4) alongside both cruder estimates. Pure codegen
+    regexp_count; the DuckDB oracle applies the identical RE2-compatible
+    pattern."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.coalesce("text", F.lit("")), F.lit(BPE_PRETOKEN_RE)).alias("n_pretokens"),
+        F.size(tokens(F.col("text"))).alias("n_words"),
+        F.ceil(F.length("text") / 4).cast("int").alias("n_subwords_est"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length/punctuation/stopword-ratio quality heuristics (rounded, engine-stable).
 
