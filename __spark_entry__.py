@@ -10,10 +10,10 @@ the chained curation_pipeline recipe, ANN family, text stats incl. TF-IDF,
 media decoders, stratified sampling); ALL 50 queries carry an exact DuckDB
 oracle (see reden_spark/driver_contract.py) — no rows-only entries remain.
 The contract is capped at 50 rows (the driver's per-round oracle budget);
-seven near-duplicate/derivative rows plus six round-4 extras (PII
+seven near-duplicate/derivative rows plus seven round-4 extras (PII
 redaction, Gopher-style quality gates, boundary-respecting greedy packing,
 SemDeDup-style semantic dedup clustering, IVF-PQ ANN, BPE-pretokenizer
-counting)
+counting, Gopher repetition signals)
 are verified against the same kind of exact oracles by pytest instead
 (driver_contract.PYTEST_QUERIES, tests/test_driver_contract.py).
 """

@@ -1288,6 +1288,44 @@ FROM documents
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import repetition_signals
+
+    return repetition_signals(_read(spark, sf_dir, "documents"))
+
+
+O_TEXT_REPETITION = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS toks,
+         string_split(text, chr(10)) AS lns
+  FROM documents
+), base AS (
+  SELECT doc_id, toks,
+         len(toks)::INT AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           round((len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks), 6)
+         ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN len(lns) > 0 THEN
+           round((len(lns) - len(list_distinct(lns)))::DOUBLE / len(lns), 6)
+         ELSE 0.0 END AS dup_line_frac
+  FROM t
+), bge AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1]
+                 FOR i IN generate_series(1, greatest(len(toks) - 1, 0))]) AS bg
+  FROM base
+), bgc AS (
+  SELECT doc_id, bg, count(*) AS c FROM bge GROUP BY 1, 2
+), tp AS (
+  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac FROM bgc GROUP BY 1
+)
+SELECT b.doc_id, b.n_words, b.dup_word_frac, b.dup_line_frac,
+       COALESCE(tp.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM base b LEFT JOIN tp USING (doc_id)
+"""
+
+
 def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import quality_filter
 
@@ -2969,6 +3007,7 @@ PYTEST_QUERIES = {
     "dedup_semantic_clusters": q_dedup_semantic_clusters,
     "ann_ivf_pq": q_ann_ivf_pq,
     "text_pretoken_count": q_text_pretoken_count,
+    "text_repetition": q_text_repetition,
 }
 
 PYTEST_ORACLES = {
@@ -2985,6 +3024,7 @@ PYTEST_ORACLES = {
     "dedup_semantic_clusters": _o_dedup_semantic_clusters(),
     "ann_ivf_pq": _o_ann_ivf_pq(),
     "text_pretoken_count": _o_text_pretoken_count(),
+    "text_repetition": O_TEXT_REPETITION,
 }
 
 # back-compat alias (round-4 docs referred to these as the retired rows)

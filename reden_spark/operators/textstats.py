@@ -211,6 +211,60 @@ def quality_filter(
     )
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021 §A1.2
+    flavor): duplicate-word fraction, duplicate-line fraction, and the mass of
+    the single most frequent word bigram — the classic boilerplate/spam
+    detectors that length and stopword ratios miss. Returns (doc_id, n_words,
+    dup_word_frac, dup_line_frac, top_bigram_frac), ratios quantized to 6
+    decimals; degenerate docs (under 2 words / 1 line) report 0.
+
+    Shape: dup fractions are pure array expressions (codegen); the top-bigram
+    mode needs a per-(doc, bigram) count — one explode + two partial-agg
+    shuffles at (doc, bigram) then doc grain, the standard mode-per-group
+    plan at any scale."""
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    dup_word = F.when(
+        n_words > 0,
+        F.round((n_words - F.size(F.array_distinct(toks))).cast("double") / n_words, 6),
+    ).otherwise(F.lit(0.0))
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines, 6),
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        dup_word.alias("dup_word_frac"),
+        dup_line.alias("dup_line_frac"),
+        toks.alias("toks"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 2 then "
+                "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i])) "
+                "else array() end"
+            )
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_frac"))
+    )
+    return (
+        base.drop("toks")
+        .join(top, "doc_id", "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     """Per-document top-k terms by TF-IDF (doc_id, term, tf, df_docs, tfidf, rnk).
 
