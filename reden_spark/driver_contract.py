@@ -1269,10 +1269,39 @@ FROM r3
 """
 
 
+# The synthetic documents text is pure lowercase [a-z ]: no newlines, digits,
+# apostrophes or punctuation, so oracles over the raw table would exercise
+# only the letter-run branch of the pretokenizer and leave dup_line_frac
+# identically zero (vacuous parity). Every 4th doc therefore gains a
+# deterministic adversarial suffix — contractions, digits, symbol runs,
+# newlines, and a repeated line — in BOTH engines.
+_ADV_SUFFIX = "\nIt's 2024: price 1,234 -- 50% off!\nsame line\nsame line"
+_ADV_SUFFIX_SQL = (
+    "chr(10) || 'It''s 2024: price 1,234 -- 50% off!' || chr(10) || "
+    "'same line' || chr(10) || 'same line'"
+)
+_DUCK_ADV_DOCS = f"""
+adv_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN COALESCE(text, '') || {_ADV_SUFFIX_SQL}
+              ELSE COALESCE(text, '') END AS text
+  FROM documents
+)
+"""
+
+
+def _adv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = F.coalesce(F.col("text"), F.lit(""))
+    return _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(base, F.lit(_ADV_SUFFIX))).otherwise(base),
+    )
+
+
 def q_text_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import pretoken_count
 
-    return pretoken_count(_read(spark, sf_dir, "documents"))
+    return pretoken_count(_adv_docs(spark, sf_dir))
 
 
 def _o_text_pretoken_count() -> str:
@@ -1280,26 +1309,28 @@ def _o_text_pretoken_count() -> str:
 
     pat = BPE_PRETOKEN_RE.replace("'", "''")
     return f"""
+WITH {_DUCK_ADV_DOCS}
 SELECT doc_id,
-       len(regexp_extract_all(COALESCE(text, ''), '{pat}'))::INT AS n_pretokens,
+       len(regexp_extract_all(text, '{pat}'))::INT AS n_pretokens,
        len(string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' '))::INT AS n_words,
        ceil(length(text) / 4)::INT AS n_subwords_est
-FROM documents
+FROM adv_docs
 """
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import repetition_signals
 
-    return repetition_signals(_read(spark, sf_dir, "documents"))
+    return repetition_signals(_adv_docs(spark, sf_dir))
 
 
-O_TEXT_REPETITION = """
-WITH t AS (
+O_TEXT_REPETITION = f"""
+WITH {_DUCK_ADV_DOCS},
+t AS (
   SELECT doc_id, text,
          string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS toks,
          string_split(text, chr(10)) AS lns
-  FROM documents
+  FROM adv_docs
 ), base AS (
   SELECT doc_id, toks,
          len(toks)::INT AS n_words,
@@ -1614,7 +1645,10 @@ def _sql_l2sq(a: str, b: str) -> str:
 
 
 def _o_ann_ivf_pq() -> str:
-    sw, m = 16, 4  # EMB_DIM=64 split into 4 subspaces of 16
+    from .operators.similarity import EMB_DIM
+
+    m = 4
+    sw = EMB_DIM // m  # subvector width follows the fixture's embedding width
     cos = _sql_cosine("e.embedding", "c.cvec")
     return f"""
 WITH cent AS (
@@ -2991,8 +3025,10 @@ assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (
 # remain first-class (kg_links_grouped pins the applyInPandas §2.7 kernel
 # against the SAME oracle as kg_links; kg_mentions_relational pins the
 # relational twin of the mapInPandas detector; the rest are small derivative
-# report sinks) — and (b) round-4 additions awaiting a free driver slot
-# (PII redaction, Gopher-style quality gates).
+# report sinks) — and (b) seven round-4 additions awaiting a free driver
+# slot: PII redaction, Gopher-style quality gates, boundary-respecting
+# greedy packing, SemDeDup-style semantic clustering, IVF-PQ ANN,
+# BPE-pretokenizer counting, Gopher repetition signals.
 PYTEST_QUERIES = {
     "kg_links_grouped": q_kg_links_grouped,
     "kg_mentions_relational": q_kg_mentions_relational,

@@ -270,18 +270,16 @@ def ivf_pq_topk(
     sw = dim // m
     spark = embeddings.sparkSession
 
-    cent = (
-        embeddings.orderBy("vec_id")
-        .limit(n_list)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-    )
+    # same deterministic coarse quantizer as ivf_topk (train_centroids with 0
+    # Lloyd iterations = the first-n_list init) — shared so the two IVF
+    # variants can never silently probe different cells
+    cent = train_centroids(embeddings, n_list, 0)
     assigned = _nearest_cells(embeddings, cent, 1)
 
     # codebooks: subvectors of the first n_codes vectors; tiny (m x n_codes
-    # rows) — the only data that touches the driver
-    first = sorted(
-        embeddings.orderBy("vec_id").limit(n_codes).collect(), key=lambda r: r.vec_id
-    )
+    # rows) — the only data that touches the driver (collect order is the
+    # plan's orderBy)
+    first = embeddings.orderBy("vec_id").limit(n_codes).collect()
     cw = spark.createDataFrame(
         [
             (s, code, [float(x) for x in r.embedding[s * sw : (s + 1) * sw]])

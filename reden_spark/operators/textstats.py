@@ -34,12 +34,16 @@ def token_count(docs: DataFrame) -> DataFrame:
 
 # GPT-2-style pretokenizer pattern, restricted to the subset both regex
 # dialects (Java, RE2) implement identically: contraction suffixes, optional-
-# space letter runs, digit runs, symbol runs, whitespace runs. The canonical
-# pattern's trailing `\s+(?!\S)` lookahead is dropped — RE2 has no lookahead —
-# which only changes how a run of spaces before a token is split between two
-# whitespace matches; the COUNT of matches differs deterministically and both
-# engines state the identical pattern.
-BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# space letter runs, digit runs, symbol runs, whitespace runs. Two canonical-
+# pattern deviations, both deliberate: the trailing `\s+(?!\S)` lookahead is
+# dropped (RE2 has no lookahead — only how space runs split between matches
+# changes, identically in both engines), and `\s` is spelled as the explicit
+# class [ \t\n\f\r] because the shorthand DIVERGES between dialects (Java \s
+# includes vertical tab \x0B, RE2's does not — a VT would land in the
+# whitespace branch on one side and the symbol branch on the other).
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+"
+)
 
 
 def pretoken_count(docs: DataFrame) -> DataFrame:
