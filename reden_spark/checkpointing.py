@@ -52,10 +52,11 @@ def checkpoint_mode() -> str:
     return env
 
 
-def shared(df: DataFrame) -> DataFrame:
+def shared(df: DataFrame, arrays: bool = False) -> DataFrame:
     """Materialization point for a subtree consumed by several branches of ONE
     downstream query (the links stage's members/colored/edges/survivors, the
-    dedup signature/shingle frames).
+    dedup signature/shingle frames). ``arrays``: the frame carries array-typed
+    columns (columnar cache encoding is expensive for those — see 'hybrid').
 
     Default ('eager'): the eager checkpoint barrier of :func:`checkpoint` —
     measured best on this host (interleaved A/B, BENCH.md round 4: cold
@@ -73,18 +74,28 @@ def shared(df: DataFrame) -> DataFrame:
     the trade reverses when per-job latency dominates (very small inputs) or
     on a cluster whose driver round-trips are slower than its executors.
 
+    ``REDEN_SHARED_SUBTREE=hybrid`` splits by the caller's ``arrays`` hint:
+    narrow string/numeric frames (colored/edges/survivors — cheap to encode
+    columnar) go lazy persist, while array-typed frames (members, dedup
+    signature/shingle frames — whose columnar cache build is what made full
+    lazy lose the A/B) keep the eager checkpoint.
+
     Never a lazy localCheckpoint. Under a non-local ``checkpoint_mode``
     (reliable/persist) `shared` always defers to :func:`checkpoint`."""
-    if not shared_is_lazy():
+    if not shared_is_lazy(arrays):
         return checkpoint(df)
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def shared_is_lazy() -> bool:
-    """True when :func:`shared` materializes via lazy persist (no barrier job).
-    Callers that overlap eager-checkpoint jobs with driver threads use this to
-    skip the (pointless under lazy) thread pool."""
-    return checkpoint_mode() == "local" and os.environ.get("REDEN_SHARED_SUBTREE", "eager") == "lazy"
+def shared_is_lazy(arrays: bool = False) -> bool:
+    """True when :func:`shared` would materialize a frame with this ``arrays``
+    hint via lazy persist (no barrier job). Callers that overlap
+    eager-checkpoint jobs with driver threads use this to skip the (pointless
+    under lazy) thread pool."""
+    if checkpoint_mode() != "local":
+        return False
+    mode = os.environ.get("REDEN_SHARED_SUBTREE", "eager")
+    return mode == "lazy" or (mode == "hybrid" and not arrays)
 
 
 def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:

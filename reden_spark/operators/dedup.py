@@ -139,7 +139,7 @@ def minhash_lsh_pairs(
     # default, lazy persist under REDEN_SHARED_SUBTREE=lazy (never a lazy
     # localCheckpoint, which re-executes the whole signature computation per
     # concurrent AQE consumer)
-    sigs = shared(minhash_signatures(docs, n_hashes, shingle_n))
+    sigs = shared(minhash_signatures(docs, n_hashes, shingle_n), arrays=True)
     banded = sigs.select(
         "doc_id",
         "shingles",
@@ -221,7 +221,7 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 
         _fan_out(docs)
         .select("doc_id", "text", word_shingles(F.col("text"), shingle_n).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .transform(shared)  # consumed by blocking + both join sides (see minhash note)
+        .transform(lambda d: shared(d, arrays=True))  # blocking + both join sides (see minhash note)
     )
     keyed = sh.select("doc_id", F.explode(_min_shingle_band_keys()).alias("block"))
     pairs = (

@@ -416,7 +416,7 @@ def disambiguate(
     # (never a lazy localCheckpoint, which re-executes the upstream per
     # concurrent AQE consumer — round-2 trap). These frames are
     # conversation-grain (tiny vs the turn table).
-    members_ok = shared(_group_members(cand_ok))
+    members_ok = shared(_group_members(cand_ok), arrays=True)  # uris arrays
 
     colored_plan = colored_nodes(cand_ok, cfg, members=members_ok)
     edges_plan = fuse_edges(cand_ok, kb_edges, rel_weights, cfg, members=members_ok)
