@@ -772,14 +772,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_DEDUP_EXACT = """
 SELECT min(doc_id) AS doc_id,
-       md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g'))) AS content_key,
+       md5(trim(regexp_replace(lower(COALESCE(text, '')), '\\W+', ' ', 'g'))) AS content_key,
        count(*) AS n_copies
 FROM documents GROUP BY 2
 """
 
 _DUCK_SHINGLES = """
 WITH toks AS (
-  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS words
+  SELECT doc_id, string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\W+', ' ', 'g')), ' ') AS words
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -983,7 +983,7 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TEXT_TFIDF_TOPK = """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ')) AS term
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\W+', ' ', 'g')), ' ')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
@@ -1035,7 +1035,7 @@ O_DOC_PACK_SEQUENCES = """
 WITH toks AS (
   SELECT doc_id,
          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
-         len(list_filter(string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' '),
+         len(list_filter(string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\W+', ' ', 'g')), ' '),
                          t -> t <> '')) AS n_tokens
   FROM documents
 ), packed AS (
@@ -1064,7 +1064,7 @@ O_DOC_PACK_GREEDY = """
 WITH RECURSIVE toks AS (
   SELECT doc_id,
          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
-         len(list_filter(string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' '),
+         len(list_filter(string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\W+', ' ', 'g')), ' '),
                          t -> t <> '')) AS n_tokens
   FROM documents
 ), ordered AS (
@@ -1369,8 +1369,8 @@ def _o_text_quality_filter() -> str:
     stoplist = ", ".join(f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws}))
     return f"""
 WITH t AS (
-  SELECT doc_id, text,
-         string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS toks
+  SELECT doc_id, COALESCE(text, '') AS text,
+         string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\W+', ' ', 'g')), ' ') AS toks
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -1754,8 +1754,8 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TEXT_TOKEN_COUNT = """
 SELECT doc_id,
-       len(string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' '))::INT AS n_words,
-       ceil(length(text) / 4)::INT AS n_subwords_est
+       len(string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\W+', ' ', 'g')), ' '))::INT AS n_words,
+       ceil(length(COALESCE(text, '')) / 4)::INT AS n_subwords_est
 FROM documents
 """
 
@@ -1770,8 +1770,8 @@ _ALL_STOPWORDS_SQL = "('a','and','das','de','der','die','el','est','et','ein','i
 
 O_TEXT_QUALITY = f"""
 WITH t AS (
-  SELECT doc_id, text,
-         string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS toks
+  SELECT doc_id, COALESCE(text, '') AS text,
+         string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\W+', ' ', 'g')), ' ') AS toks
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -1799,7 +1799,7 @@ def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TEXT_LANGUAGE_ID = """
 WITH t AS (
-  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')), ' ') AS toks
+  SELECT doc_id, string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\W+', ' ', 'g')), ' ') AS toks
   FROM documents
 ), hits AS (
   SELECT doc_id, lang, CAST(CASE lang
@@ -1828,7 +1828,7 @@ O_TEXT_FINGERPRINT = (
     _DUCK_SHINGLES.format(nm1=4)
     + """
 SELECT s.doc_id,
-       md5(trim(regexp_replace(lower(d.text), '\\W+', ' ', 'g'))) AS content_md5,
+       md5(trim(regexp_replace(lower(COALESCE(d.text, '')), '\\W+', ' ', 'g'))) AS content_md5,
        CASE WHEN len(s.shingles) > 0 THEN list_min([md5(x) FOR x IN s.shingles]) END AS min_shingle_md5
 FROM sh s JOIN documents d USING (doc_id)
 """
@@ -2898,27 +2898,47 @@ WHERE alias != ''
 
 # Driver-facing contract: EXACTLY 50 rows — the driver oracles at most 50
 # queries per round (round 3 ran a 56-row contract and the 6 dict-tail rows
-# went unevidenced), so the contract is kept at the check budget and ordered
-# defensively: rows without round-3 driver evidence first, then rows whose
-# semantics changed this round, then the stable body. Near-duplicate rows
-# (grouped/relational twins, small derivative reports) moved to
-# RETIRED_QUERIES below — still oracle-checked, by pytest instead of the
-# driver (tests/test_driver_contract.py parametrizes over the union).
+# went unevidenced), so the contract is kept at the check budget and rows
+# ROTATE between the driver window and the pytest window so every query
+# earns a driver CORRECTNESS artifact at least once (round-5 rotation,
+# VERDICT r4 task #1):
+#   round 5 IN  — the 14 rows that had only pytest evidence through r4
+#     (7 retired twins + the 7 round-4 operators);
+#   round 5 OUT — 14 stable rows green in BOTH r3 and r4 driver artifacts
+#     (kg_preannotate, kg_annotated_refs, kg_relation_frequency,
+#     kg_geo_enrich, kg_population_completeness, kg_eval_verdicts,
+#     dico_build_{places,bne,getty,dbpediafr}, dico_regex_lookup,
+#     dico_geonames, rel_lifespan, media_image_stats) — now pytest-pinned in
+#     PYTEST_QUERIES below against their unchanged oracles.
+# Ordered defensively: never-driver-evidenced rows first.
 QUERIES = {
-    # --- no round-3 driver evidence (ran past the 50-row window) ---
+    # --- rotated IN this round: first-ever driver evidence for these 14 ---
+    "text_redact_pii": q_text_redact_pii,
+    "text_quality_filter": q_text_quality_filter,
+    "text_pretoken_count": q_text_pretoken_count,
+    "text_repetition": q_text_repetition,
+    "doc_pack_greedy": q_doc_pack_greedy,
+    "dedup_semantic_clusters": q_dedup_semantic_clusters,
+    "ann_ivf_pq": q_ann_ivf_pq,
+    "kg_links_grouped": q_kg_links_grouped,
+    "kg_mentions_relational": q_kg_mentions_relational,
+    "kg_annotated_turns": q_kg_annotated_turns,
+    "kg_correct_mentions": q_kg_correct_mentions,
+    "kg_score_extract": q_kg_score_extract,
+    "kg_occurrences": q_kg_occurrences,
+    "kg_author_enrich": q_kg_author_enrich,
+    # --- stable body (driver-green r3+r4) ---
     "media_audio_stats": q_media_audio_stats,
     "media_frame_stats": q_media_frame_stats,
     "rel_pushdown_agg": q_rel_pushdown_agg,
     "rel_join_topk": q_rel_join_topk,
     "rel_sessionize": q_rel_sessionize,
     "rel_significance": q_rel_significance,
-    # --- new or changed this round ---
     "curation_pipeline": q_curation_pipeline,
     "doc_pack_sequences": q_doc_pack_sequences,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash,
     "media_features": q_media_features,
-    # --- stable body ---
     "kg_mentions": q_kg_mentions,
     "kg_candidates": q_kg_candidates,
     "kg_conversation_cases": q_kg_cases,
@@ -2928,19 +2948,7 @@ QUERIES = {
     "kg_canonical_components": q_kg_canonical,
     "kg_triples": q_kg_triples,
     "kg_eval_metrics": q_kg_eval_metrics,
-    "kg_eval_verdicts": q_kg_eval_verdicts,
-    "kg_preannotate": q_kg_preannotate,
-    "kg_annotated_refs": q_kg_annotated_refs,
-    "kg_relation_frequency": q_kg_relation_frequency,
-    "kg_geo_enrich": q_kg_geo_enrich,
-    "kg_population_completeness": q_kg_population_completeness,
     "dico_build": q_dico_build,
-    "dico_build_places": q_dico_build_places,
-    "dico_build_bne": q_dico_build_bne,
-    "dico_build_getty": q_dico_build_getty,
-    "dico_build_dbpediafr": q_dico_build_dbpediafr,
-    "dico_regex_lookup": q_dico_regex_lookup,
-    "dico_geonames": q_dico_geonames,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
@@ -2956,11 +2964,23 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
     "text_fingerprint": q_text_fingerprint,
-    "media_image_stats": q_media_image_stats,
-    "rel_lifespan": q_rel_lifespan,
 }
 
 ORACLES = {
+    "text_redact_pii": _o_text_redact_pii(),
+    "text_quality_filter": _o_text_quality_filter(),
+    "text_pretoken_count": _o_text_pretoken_count(),
+    "text_repetition": O_TEXT_REPETITION,
+    "doc_pack_greedy": O_DOC_PACK_GREEDY,
+    "dedup_semantic_clusters": _o_dedup_semantic_clusters(),
+    "ann_ivf_pq": _o_ann_ivf_pq(),
+    "kg_links_grouped": O_KG_LINKS,  # the grouped variant must match the same oracle
+    "kg_mentions_relational": O_KG_MENTIONS,  # both detectors must match the same oracle
+    "kg_annotated_turns": O_KG_ANNOTATED_TURNS,
+    "kg_correct_mentions": O_KG_CORRECT_MENTIONS,
+    "kg_score_extract": O_KG_SCORE_EXTRACT,
+    "kg_occurrences": O_KG_OCCURRENCES,
+    "kg_author_enrich": O_KG_AUTHOR_ENRICH,
     "media_audio_stats": O_MEDIA_AUDIO_STATS,
     "media_frame_stats": O_MEDIA_FRAME_STATS,
     "rel_pushdown_agg": O_REL_PUSHDOWN_AGG,
@@ -2981,19 +3001,7 @@ ORACLES = {
     "kg_canonical_components": O_KG_CANONICAL,
     "kg_triples": O_KG_TRIPLES,
     "kg_eval_metrics": O_KG_EVAL_METRICS,
-    "kg_eval_verdicts": O_KG_EVAL_VERDICTS,
-    "kg_preannotate": O_KG_PREANNOTATE,
-    "kg_annotated_refs": O_KG_ANNOTATED_REFS,
-    "kg_relation_frequency": O_KG_RELATION_FREQUENCY,
-    "kg_geo_enrich": O_KG_GEO_ENRICH,
-    "kg_population_completeness": O_KG_POPULATION,
     "dico_build": O_DICO_BUILD,
-    "dico_build_places": O_DICO_BUILD_PLACES,
-    "dico_build_bne": O_DICO_BUILD_BNE,
-    "dico_build_getty": O_DICO_BUILD_GETTY,
-    "dico_build_dbpediafr": O_DICO_BUILD_DBPEDIAFR,
-    "dico_regex_lookup": O_DICO_REGEX_LOOKUP,
-    "dico_geonames": O_DICO_GEONAMES,
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_ngram_jaccard": O_DEDUP_NGRAM,
     "dedup_simhash": O_DEDUP_SIMHASH,
@@ -3009,8 +3017,6 @@ ORACLES = {
     "text_quality": O_TEXT_QUALITY,
     "text_language_id": O_TEXT_LANGUAGE_ID,
     "text_fingerprint": O_TEXT_FINGERPRINT,
-    "media_image_stats": O_MEDIA_IMAGE_STATS,
-    "rel_lifespan": O_REL_LIFESPAN,
 }
 
 assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (
@@ -3018,50 +3024,46 @@ assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (
     set(QUERIES) ^ set(ORACLES),
 )
 
-# Oracle-checked by PYTEST instead of the driver (tests/test_driver_contract.py
-# runs the union of both registries through the identical comparison): (a)
-# near-duplicate/derivative rows retired from the driver-facing contract to
-# keep it inside the 50-row oracle window — the operators they demonstrate
-# remain first-class (kg_links_grouped pins the applyInPandas §2.7 kernel
-# against the SAME oracle as kg_links; kg_mentions_relational pins the
-# relational twin of the mapInPandas detector; the rest are small derivative
-# report sinks) — and (b) seven round-4 additions awaiting a free driver
-# slot: PII redaction, Gopher-style quality gates, boundary-respecting
-# greedy packing, SemDeDup-style semantic clustering, IVF-PQ ANN,
-# BPE-pretokenizer counting, Gopher repetition signals.
+# Oracle-checked by PYTEST this round (tests/test_driver_contract.py runs the
+# union of both registries through the identical comparison): the 14 rows
+# rotated OUT of the driver window above — all driver-green in both the r3
+# and r4 CORRECTNESS artifacts, oracles unchanged. They rotate back into
+# QUERIES next round.
 PYTEST_QUERIES = {
-    "kg_links_grouped": q_kg_links_grouped,
-    "kg_mentions_relational": q_kg_mentions_relational,
-    "kg_annotated_turns": q_kg_annotated_turns,
-    "kg_correct_mentions": q_kg_correct_mentions,
-    "kg_score_extract": q_kg_score_extract,
-    "kg_occurrences": q_kg_occurrences,
-    "kg_author_enrich": q_kg_author_enrich,
-    "text_redact_pii": q_text_redact_pii,
-    "text_quality_filter": q_text_quality_filter,
-    "doc_pack_greedy": q_doc_pack_greedy,
-    "dedup_semantic_clusters": q_dedup_semantic_clusters,
-    "ann_ivf_pq": q_ann_ivf_pq,
-    "text_pretoken_count": q_text_pretoken_count,
-    "text_repetition": q_text_repetition,
+    "kg_eval_verdicts": q_kg_eval_verdicts,
+    "kg_preannotate": q_kg_preannotate,
+    "kg_annotated_refs": q_kg_annotated_refs,
+    "kg_relation_frequency": q_kg_relation_frequency,
+    "kg_geo_enrich": q_kg_geo_enrich,
+    "kg_population_completeness": q_kg_population_completeness,
+    "dico_build_places": q_dico_build_places,
+    "dico_build_bne": q_dico_build_bne,
+    "dico_build_getty": q_dico_build_getty,
+    "dico_build_dbpediafr": q_dico_build_dbpediafr,
+    "dico_regex_lookup": q_dico_regex_lookup,
+    "dico_geonames": q_dico_geonames,
+    "rel_lifespan": q_rel_lifespan,
+    "media_image_stats": q_media_image_stats,
 }
 
 PYTEST_ORACLES = {
-    "kg_links_grouped": O_KG_LINKS,  # the grouped variant must match the same oracle
-    "kg_mentions_relational": O_KG_MENTIONS,  # both detectors must match the same oracle
-    "kg_annotated_turns": O_KG_ANNOTATED_TURNS,
-    "kg_correct_mentions": O_KG_CORRECT_MENTIONS,
-    "kg_score_extract": O_KG_SCORE_EXTRACT,
-    "kg_occurrences": O_KG_OCCURRENCES,
-    "kg_author_enrich": O_KG_AUTHOR_ENRICH,
-    "text_redact_pii": _o_text_redact_pii(),
-    "text_quality_filter": _o_text_quality_filter(),
-    "doc_pack_greedy": O_DOC_PACK_GREEDY,
-    "dedup_semantic_clusters": _o_dedup_semantic_clusters(),
-    "ann_ivf_pq": _o_ann_ivf_pq(),
-    "text_pretoken_count": _o_text_pretoken_count(),
-    "text_repetition": O_TEXT_REPETITION,
+    "kg_eval_verdicts": O_KG_EVAL_VERDICTS,
+    "kg_preannotate": O_KG_PREANNOTATE,
+    "kg_annotated_refs": O_KG_ANNOTATED_REFS,
+    "kg_relation_frequency": O_KG_RELATION_FREQUENCY,
+    "kg_geo_enrich": O_KG_GEO_ENRICH,
+    "kg_population_completeness": O_KG_POPULATION,
+    "dico_build_places": O_DICO_BUILD_PLACES,
+    "dico_build_bne": O_DICO_BUILD_BNE,
+    "dico_build_getty": O_DICO_BUILD_GETTY,
+    "dico_build_dbpediafr": O_DICO_BUILD_DBPEDIAFR,
+    "dico_regex_lookup": O_DICO_REGEX_LOOKUP,
+    "dico_geonames": O_DICO_GEONAMES,
+    "rel_lifespan": O_REL_LIFESPAN,
+    "media_image_stats": O_MEDIA_IMAGE_STATS,
 }
+
+assert len(PYTEST_QUERIES) == 14 and set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
 
 # back-compat alias (round-4 docs referred to these as the retired rows)
 RETIRED_QUERIES = PYTEST_QUERIES

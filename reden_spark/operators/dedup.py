@@ -25,8 +25,9 @@ from ..checkpointing import shared
 
 
 def norm_text(col):
-    """lowercase, collapse non-word runs to single spaces, trim."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\W+", " "))
+    """lowercase, collapse non-word runs to single spaces, trim; NULL as empty
+    (the DuckDB oracles COALESCE the same way)."""
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\W+", " "))
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -44,7 +45,7 @@ def word_shingles(col, n: int):
     sorted). Expressed as a SQL lambda chain so the DuckDB oracle can mirror the
     exact same formula."""
     del col  # shingles always read the `text` column (SQL-parity formula below)
-    words = "split(trim(regexp_replace(lower(text), '\\\\W+', ' ')), ' ')"
+    words = "split(trim(regexp_replace(lower(coalesce(text, '')), '\\\\W+', ' ')), ' ')"
     # NB: Spark's sequence(1, 0) is DESCENDING (not empty) — guard short texts.
     grams = F.expr(
         f"case when size({words}) >= {n} then "

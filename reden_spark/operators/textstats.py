@@ -19,7 +19,15 @@ STOPWORDS = {
 
 
 def tokens(col):
-    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\W+", " ")), " ")
+    # NULL text tokenizes as empty text (size() would otherwise return NULL on
+    # the Spark side vs DuckDB's NULL-row semantics — a latent parity split)
+    return F.split(F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\W+", " ")), " ")
+
+
+def _text():
+    """The documents text column, NULL-coalesced — every textstats operator
+    reads text through this (or tokens()) so NULL rows behave as empty."""
+    return F.coalesce(F.col("text"), F.lit(""))
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -27,8 +35,8 @@ def token_count(docs: DataFrame) -> DataFrame:
     rough tokens-per-char heuristic for budgeting."""
     return docs.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("n_words"),
-        F.ceil(F.length("text") / 4).cast("int").alias("n_subwords_est"),
+        F.size(tokens(_text())).alias("n_words"),
+        F.ceil(F.length(_text()) / 4).cast("int").alias("n_subwords_est"),
     )
 
 
@@ -54,9 +62,9 @@ def pretoken_count(docs: DataFrame) -> DataFrame:
     pattern."""
     return docs.select(
         "doc_id",
-        F.regexp_count(F.coalesce("text", F.lit("")), F.lit(BPE_PRETOKEN_RE)).alias("n_pretokens"),
-        F.size(tokens(F.col("text"))).alias("n_words"),
-        F.ceil(F.length("text") / 4).cast("int").alias("n_subwords_est"),
+        F.regexp_count(_text(), F.lit(BPE_PRETOKEN_RE)).alias("n_pretokens"),
+        F.size(tokens(_text())).alias("n_words"),
+        F.ceil(F.length(_text()) / 4).cast("int").alias("n_subwords_est"),
     )
 
 
@@ -65,13 +73,13 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
     score = 0.4*stopword_ratio + 0.3*min(n_words/100,1) + 0.3*(1-punct_ratio)
     """
-    toks = tokens(F.col("text"))
+    toks = tokens(_text())
     n_words = F.size(toks)
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
-    punct = F.length(F.regexp_replace(F.col("text"), r"[\w\s]", ""))
+    punct = F.length(F.regexp_replace(_text(), r"[\w\s]", ""))
     stop_ratio = stop_hits.cast("double") / F.greatest(n_words, F.lit(1))
-    punct_ratio = punct.cast("double") / F.greatest(F.length("text"), F.lit(1))
+    punct_ratio = punct.cast("double") / F.greatest(F.length(_text()), F.lit(1))
     len_component = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
     return docs.select(
         "doc_id",
@@ -85,7 +93,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def language_id(docs: DataFrame) -> DataFrame:
     """argmax over per-language stopword hit counts; ties broken by language code
     ascending; 'und' when no list scores > 0."""
-    toks = tokens(F.col("text"))
+    toks = tokens(_text())
 
     def hits(ws):
         # NB: a two-arg lambda would be called as (element, index) by F.filter —
@@ -99,9 +107,9 @@ def language_id(docs: DataFrame) -> DataFrame:
     pairs = F.array(
         *[F.struct(F.col(f"hits_{lang}").alias("hits"), F.lit(lang).alias("lang")) for lang in sorted(STOPWORDS)]
     )
-    # max by (hits asc, lang desc) -> want max hits, min lang on tie: sort by
-    # (hits, reverse lang) and take last? simpler: array_max over (hits, neg-lex)…
-    # deterministic: pick struct with max hits; on ties the SMALLEST lang wins.
+    # Rule: pick the struct with the strictly greatest hit count; the fold
+    # keeps the FIRST max, and langs are folded in ascending code order, so
+    # ties deterministically resolve to the smallest language code.
     best = F.aggregate(
         pairs,
         F.struct(F.lit(-1).alias("hits"), F.lit("zzz").alias("lang")),
@@ -125,7 +133,7 @@ def fingerprint(docs: DataFrame, shingle_n: int = 5) -> DataFrame:
 
     return docs.select(
         "doc_id",
-        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\W+", " "))).alias("content_md5"),
+        F.md5(F.trim(F.regexp_replace(F.lower(_text()), r"\W+", " "))).alias("content_md5"),
         F.array_min(F.transform(word_shingles("text", shingle_n), F.md5)).alias(
             "min_shingle_md5"
         ),
@@ -182,7 +190,7 @@ def quality_filter(
     (a real run keeps the flag column and filters downstream, preserving the
     audit trail). All ratios quantized to 6 decimals before comparison so the
     boolean is engine-stable."""
-    toks = tokens(F.col("text"))
+    toks = tokens(_text())
     n_words = F.size(toks)
     total_chars = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
@@ -195,8 +203,8 @@ def quality_filter(
         6,
     )
     punct_ratio = F.round(
-        F.length(F.regexp_replace(F.col("text"), r"[\w\s]", "")).cast("double")
-        / F.greatest(F.length("text"), F.lit(1)),
+        F.length(F.regexp_replace(_text(), r"[\w\s]", "")).cast("double")
+        / F.greatest(F.length(_text()), F.lit(1)),
         6,
     )
     passes = (
@@ -227,13 +235,13 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     mode needs a per-(doc, bigram) count — one explode + two partial-agg
     shuffles at (doc, bigram) then doc grain, the standard mode-per-group
     plan at any scale."""
-    toks = tokens(F.col("text"))
+    toks = tokens(_text())
     n_words = F.size(toks)
     dup_word = F.when(
         n_words > 0,
         F.round((n_words - F.size(F.array_distinct(toks))).cast("double") / n_words, 6),
     ).otherwise(F.lit(0.0))
-    lines = F.split(F.col("text"), "\n")
+    lines = F.split(_text(), "\n")
     n_lines = F.size(lines)
     dup_line = F.when(
         n_lines > 0,
@@ -288,7 +296,7 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
 
     n_docs = docs.count()  # one scalar action; the corpus size is a job input at any scale
     toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        "doc_id", F.explode(tokens(_text())).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_docs = tf.groupBy("term").agg(F.count("*").alias("df_docs"))

@@ -690,3 +690,54 @@ def test_dedup_lazy_shared_mode_same_pairs(spark, monkeypatch):
     assert sorted(map(tuple, minhash_lsh_pairs(docs, 12, 3, 4, 0.5).collect())) == base_mh
     assert sorted(map(tuple, ngram_jaccard_pairs(docs, 3, 0.8).collect())) == base_ng
     assert base_mh and base_ng
+
+
+def test_null_text_behaves_as_empty(spark, duck):
+    """NULL text must flow through every text operator as '' on BOTH engines
+    (round-4 ADVICE: un-coalesced size() yields NULL on the Spark side vs a
+    NULL row in DuckDB — the fixtures have no NULL text, so this pins the
+    hazard with an explicit one)."""
+    from reden_spark.operators.dedup import exact_dedup
+    from reden_spark.operators.textstats import (
+        fingerprint,
+        language_id,
+        pretoken_count,
+        quality_filter,
+        quality_score,
+        repetition_signals,
+        token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the quick brown fox")], "doc_id long, text string"
+    )
+
+    def by_id(df):
+        return {r["doc_id"]: tuple(r)[1:] for r in df.collect()}
+
+    for op in (
+        token_count,
+        pretoken_count,
+        quality_score,
+        quality_filter,
+        language_id,
+        fingerprint,
+        repetition_signals,
+        exact_dedup,
+    ):
+        rows = op(docs).collect()
+        # fingerprint's min_shingle_md5 is contractually NULL for sub-n docs
+        # (the DuckDB oracle's CASE WHEN len(shingles) > 0 does the same)
+        assert all(
+            v is not None
+            for r in rows
+            for k, v in r.asDict().items()
+            if k != "min_shingle_md5"
+        ), (op.__name__, rows)
+        if op is exact_dedup:
+            # NULL and '' normalize identically -> one survivor for docs 1+2
+            keys = {r.content_key: r.n_copies for r in rows}
+            assert 2 in keys.values()
+        else:
+            got = by_id(op(docs))
+            assert got[1] == got[2], (op.__name__, got[1], got[2])
