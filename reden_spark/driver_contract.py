@@ -49,7 +49,16 @@ PRED_ASSOC = "http://kb.test/pred/assoc"
 # ---------------------------------------------------------------------------
 
 
+# every contract cache registers here so sf_dir-recency eviction (see
+# _evict_stale) can sweep all of them at once
+_ALL_CACHES: list[dict] = []
+# the 2 most-recently-touched sf_dirs; older dirs' entries are evicted from
+# every cache (a multi-dir sweep would otherwise pin each dir's
+# localCheckpoint blocks for the life of the session — round-4 ADVICE)
+_SFDIR_LRU: list[str] = []
+
 _READ_CACHE: dict[tuple, DataFrame] = {}
+_ALL_CACHES.append(_READ_CACHE)
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -196,6 +205,7 @@ def empty_rel_weights(spark: SparkSession) -> DataFrame:
 
 
 _STACK_CACHE: dict[tuple, dict[str, DataFrame]] = {}
+_ALL_CACHES.append(_STACK_CACHE)
 
 
 def _sf_fingerprint(sf_dir: str) -> tuple:
@@ -230,13 +240,25 @@ def _unpersist_frames(obj) -> None:
 def _evict_stale(cache: dict, app_id: str, key=None) -> None:
     """Drop cache entries keyed by other applicationIds (stopped sessions whose
     checkpointed frames are unusable) or by an outdated sf_dir fingerprint,
-    unpersisting their frames on the way out."""
+    unpersisting their frames on the way out. Also bounds ALL caches to the 2
+    most-recently-touched sf_dirs (key[1] is always the sf_dir) so a
+    multi-dir sweep cannot accumulate localCheckpoint blocks without limit."""
     # fingerprint is always the LAST key element: an entry matching on
     # everything but the fingerprint was derived from since-regenerated data
     for stale in [
         k for k in cache if k[0] != app_id or (key is not None and k[:-1] == key[:-1] and k != key)
     ]:
         _unpersist_frames(cache.pop(stale))
+    if key is not None:
+        sf_dir = key[1]
+        if sf_dir in _SFDIR_LRU:
+            _SFDIR_LRU.remove(sf_dir)
+        _SFDIR_LRU.insert(0, sf_dir)
+        for dropped in _SFDIR_LRU[2:]:
+            for c in _ALL_CACHES:
+                for k in [k for k in c if k[1] == dropped]:
+                    _unpersist_frames(c.pop(k))
+        del _SFDIR_LRU[2:]
 
 
 def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -569,6 +591,7 @@ O_KG_DEGREES = SQL_PREFIX + "SELECT conv_id, v, degree FROM degrees"
 
 
 _LINKS_CACHE: dict[tuple, DataFrame] = {}
+_ALL_CACHES.append(_LINKS_CACHE)
 
 
 def _links(spark: SparkSession, sf_dir: str, grouped: bool = False) -> DataFrame:
@@ -792,6 +815,7 @@ WITH toks AS (
 
 
 _PAIRS_CACHE: dict[tuple, DataFrame] = {}
+_ALL_CACHES.append(_PAIRS_CACHE)
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

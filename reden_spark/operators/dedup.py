@@ -112,13 +112,30 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 12, shingle_n: int = 3) 
     return sh.select("doc_id", "shingles", sig.alias("sig"))
 
 
+# last auto-salt decision (observability hook for tests and operators: a
+# 100 TB run discovers band skew at runtime, so the probe's verdict should be
+# inspectable after the fact)
+_LAST_AUTO_SALT: int | None = None
+
+
+def auto_salt_for(max_band: int, cap: int, max_salt: int = 64) -> int:
+    """Salt factor for the observed hottest band: 1 while every band fits the
+    per-task comparison budget (cap^2 pairs), else enough salt to shrink the
+    hottest band's task back under it, bounded by max_salt (right-side
+    replication cost grows linearly with salt)."""
+    if max_band <= cap:
+        return 1
+    return min(max_salt, -(-max_band // cap))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = 12,
     shingle_n: int = 3,
     bands: int = 4,
     threshold: float = 0.5,
-    salt: int = 1,
+    salt: int | str = "auto",
+    hot_band_cap: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact Jaccard.
 
@@ -132,7 +149,14 @@ def minhash_lsh_pairs(
     (each pair meets exactly once, at the left doc's salt) but a band of size B
     fans out over `salt` tasks of ~B/salt x B instead of one B x B task. Pure
     skew mitigation — identical results (pytest-pinned), `salt`x replication
-    cost on the right side, so enable it only when band-size skew is expected.
+    cost on the right side.
+
+    ``salt="auto"`` (the default) arms the guard from data, not caller
+    foresight: one cheap probe over the banded ids (a map-side-combined
+    groupBy().count() max on the already-checkpointed signature frame) reads
+    the hottest band size and picks auto_salt_for(max_band, hot_band_cap) —
+    a 100 TB corpus discovers its boilerplate skew at runtime. Pass an int to
+    skip the probe (salt=1 pins the unsalted plan).
     """
     r = n_hashes // bands
     # signatures are consumed 3x (banding + both sides of the verification
@@ -156,6 +180,12 @@ def minhash_lsh_pairs(
     # expensive anti-pattern this avoids
     left = banded.select(F.col("doc_id").alias("doc_a"), "band_key")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
+    if salt == "auto":
+        global _LAST_AUTO_SALT
+        max_band = (
+            banded.groupBy("band_key").count().agg(F.max("count").alias("m")).first()["m"]
+        )
+        salt = _LAST_AUTO_SALT = auto_salt_for(int(max_band or 0), hot_band_cap)
     if salt > 1:
         left = left.withColumn("s", F.pmod(F.xxhash64("doc_a"), F.lit(salt)))
         right = right.withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>")))

@@ -75,7 +75,7 @@ def run_curation(
     decontam_shingle_n: int = 8,
     budget: int = 512,
     n_shards: int = 8,
-    salt: int = 1,
+    salt: int | str = "auto",
 ) -> dict[str, DataFrame]:
     """Run (or resume) the curation pipeline; returns the stage DataFrames.
 
@@ -168,7 +168,12 @@ def main() -> None:
     ap.add_argument("--holdout-fraction", type=float, default=0.2)
     ap.add_argument("--budget", type=int, default=512)
     ap.add_argument("--n-shards", type=int, default=8)
-    ap.add_argument("--salt", type=int, default=1, help="hot-band salt for skewed corpora")
+    ap.add_argument(
+        "--salt",
+        type=lambda v: v if v == "auto" else int(v),
+        default="auto",
+        help="hot-band salt for skewed corpora; 'auto' (default) probes band sizes at runtime",
+    )
     a = ap.parse_args()
 
     spark = get_spark("reden-curation", master=a.master or os.environ.get("SPARK_MASTER"))

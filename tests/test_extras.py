@@ -741,3 +741,37 @@ def test_null_text_behaves_as_empty(spark, duck):
         else:
             got = by_id(op(docs))
             assert got[1] == got[2], (op.__name__, got[1], got[2])
+
+
+def test_minhash_auto_salt_engages_on_boilerplate(spark):
+    """A boilerplate-heavy corpus must arm the hot-band salt WITHOUT any caller
+    flag (salt='auto' is the default) and the pair set must equal the unsalted
+    plan's exactly (VERDICT r4 task #5)."""
+    from reden_spark.operators import dedup
+    from reden_spark.operators.dedup import auto_salt_for, minhash_lsh_pairs
+
+    # pure-function decision rule
+    assert auto_salt_for(100, cap=10_000) == 1
+    assert auto_salt_for(10_001, cap=10_000) == 2
+    assert auto_salt_for(1_000_000, cap=10_000) == 64  # bounded
+
+    # 120 boilerplate clones (one giant band) + 60 distinct docs
+    rows = [(i, "shared boilerplate header repeated across the corpus body") for i in range(120)]
+    rows += [
+        (1000 + i, f"unique document number {i} with its own words alpha{i} beta{i} gamma{i}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = sorted(
+        map(tuple, minhash_lsh_pairs(docs, 12, 3, 4, 0.5, salt=1).collect())
+    )
+    auto = sorted(
+        map(tuple, minhash_lsh_pairs(docs, 12, 3, 4, 0.5, hot_band_cap=50).collect())
+    )
+    assert dedup._LAST_AUTO_SALT is not None and dedup._LAST_AUTO_SALT > 1
+    assert auto == base and len(base) >= 120 * 119 // 2  # every clone pair found
+
+    # quiet corpus: the probe must leave the plan unsalted
+    minhash_lsh_pairs(docs.filter("doc_id >= 1000"), 12, 3, 4, 0.5, hot_band_cap=50).collect()
+    assert dedup._LAST_AUTO_SALT == 1

@@ -109,3 +109,27 @@ def test_lineage_counters(spark, fixture_dir, tmp_path):
     assert m["rows"] == sum(p["rows"] for p in m["lineage"])
     assert len(m["lineage"]) >= 1
     assert json.dumps(m)  # serializable
+
+
+def test_checkpoint_shared_mode_matrix_same_triples(spark, fixture_dir, tmp_path, monkeypatch):
+    """A 100 TB deployment runs reliable+eager; the sandbox default is
+    local+eager; ops may flip REDEN_SHARED_SUBTREE per host. All six
+    (checkpoint_mode x shared-subtree-mode) cells must emit the identical
+    triple set (VERDICT r4 task #7)."""
+    from reden_spark import checkpointing
+
+    baseline = None
+    try:
+        for ck in ("local", "reliable"):
+            for sub in ("eager", "lazy", "hybrid"):
+                monkeypatch.setenv("REDEN_SHARED_SUBTREE", sub)
+                out = tmp_path / f"kg_{ck}_{sub}"
+                dfs = run_pipeline(spark, fixture_dir, out, CFG, checkpoint_mode=ck)
+                got = _triples(dfs)
+                if baseline is None:
+                    baseline = got
+                    assert len(baseline) > 100
+                else:
+                    assert got == baseline, f"cell ({ck}, {sub}) diverged"
+    finally:
+        checkpointing.set_checkpoint_mode(None)
