@@ -116,19 +116,25 @@ def run_headline(master_cpus: str, data_dir: Path, repeats: int = 1) -> dict:
         ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         cfg = NELConfig(base_prefix=BASE_PREFIX, preferred_uri=BASE_PREFIX)
         samples = []
+        loads = []  # 1-min loadavg bracketing each sample: the artifact
+        # carries its own co-tenant-noise context (a 28 s wall at load 9 and
+        # a 23 s wall at load 0.5 are the same engine — see BENCH.md r4 §3)
         n_links = n_triples = 0
         for _ in range(max(1, repeats)):
             out_dir = tempfile.mkdtemp(prefix="reden_bench_out_", dir=ckpt_base)
+            load_before = os.getloadavg()[0]
             t0 = time.time()
             dfs = run_pipeline(spark, data_dir, out_dir, cfg)
             n_links = dfs["links"].count()
             n_triples = dfs["triples"].count()
             samples.append(time.time() - t0)
+            loads.append([round(load_before, 2), round(os.getloadavg()[0], 2)])
             shutil.rmtree(out_dir, ignore_errors=True)
         elapsed = statistics.median(samples)
         return {
             "elapsed_sec": elapsed,
             "samples_sec": [round(s, 3) for s in samples],
+            "loadavg_1m_per_sample": loads,
             "n_turns": n_turns,
             "n_links": n_links,
             "n_triples": n_triples,
@@ -199,20 +205,25 @@ PER_QUERY = [
 ]
 
 
-def run_per_query(master_cpus: str, sf_dir: str) -> dict[str, float]:
-    from reden_spark.driver_contract import QUERIES
+def run_per_query(master_cpus: str, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Times each headline query; also brackets each with the 1-min loadavg so
+    a slow reading in the round artifact carries its own noise context."""
+    from reden_spark.driver_contract import ALL_QUERIES
     from reden_spark.session import get_spark
 
     spark = get_spark("reden-bench-q", master=f"local[{master_cpus}]")
     timings: dict[str, float] = {}
+    loads: dict[str, list[float]] = {}
     try:
         for name in PER_QUERY:
+            load_before = os.getloadavg()[0]
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).count()
+            ALL_QUERIES[name](spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
+            loads[name] = [round(load_before, 2), round(os.getloadavg()[0], 2)]
     finally:
         spark.stop()
-    return timings
+    return timings, loads
 
 
 def run_kernel(master_cpus: str, data_dir: Path) -> dict:
@@ -411,7 +422,7 @@ def main() -> None:
 
     data_dir = ensure_bench_data()
     head = run_headline(cpus, data_dir, repeats=3)
-    queries = {} if a.skip_queries else run_per_query(cpus, sf_dir)
+    queries, query_loads = ({}, {}) if a.skip_queries else run_per_query(cpus, sf_dir)
 
     result = {
         "metric": "kg_pipeline_wall_clock",
@@ -424,6 +435,10 @@ def main() -> None:
         "n_links": head["n_links"],
         "n_triples": head["n_triples"],
         "headline_samples_sec": head.get("samples_sec"),
+        # [before, after] 1-min loadavg around each headline sample / query:
+        # the artifact adjudicates its own noise (VERDICT r4 task #2)
+        "headline_loadavg_1m": head.get("loadavg_1m_per_sample"),
+        "query_loadavg_1m": query_loads,
         "cpus": int(cpus),
     }
 

@@ -3087,6 +3087,11 @@ PYTEST_ORACLES = {
     "media_image_stats": O_MEDIA_IMAGE_STATS,
 }
 
+# Union view for consumers that time/run queries regardless of which evidence
+# window a row currently sits in (bench.py PER_QUERY survives rotations).
+ALL_QUERIES = {**QUERIES, **PYTEST_QUERIES}
+ALL_ORACLES = {**ORACLES, **PYTEST_ORACLES}
+
 assert len(PYTEST_QUERIES) == 14 and set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
 
 # back-compat alias (round-4 docs referred to these as the retired rows)
