@@ -19,12 +19,14 @@ All steps share deterministic tie-break rules with the oracle (oracle.py D1-D6).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from ..checkpointing import checkpoint, shared, shared_is_lazy
+from ..checkpointing import checkpoint, checkpoint_mode, shared, shared_is_lazy
 from ..functions.text import SAME_AS, decompose, encode_last_segment, last_member_with_prefix
 
 
@@ -204,16 +206,33 @@ def pruned_edges(
         .groupBy("conv_id", "v")
         .agg(F.countDistinct("inv_mention").alias("n_mentions"))
     )
-    # survivors feeds BOTH semi-joins of one query — AQE materializes their
-    # build sides concurrently; shared() = eager checkpoint barrier by
-    # default (block-level-deduped lazy persist under
-    # REDEN_SHARED_SUBTREE=lazy). A lazy localCheckpoint would race (each
-    # stage re-executing the union+distinct).
-    survivors = (
-        colored.unionByName(bridge_counts.filter(F.col("n_mentions") >= 2).select("conv_id", "v"))
-        .distinct()
-        .transform(shared)
-    )
+    # The survivor set feeds BOTH semi-joins of one query, but it is ONLY a
+    # semi-join build side, so (a) duplicates in it are harmless — no
+    # .distinct() shuffle — and (b) only the bridge-derived remainder needs a
+    # materialization point: colored is already materialized above, and the
+    # union of two materialized frames is a zero-shuffle narrow op that can
+    # recompute per branch for free. This shrank the round-4 survivors
+    # barrier (distinct over the full union) to the bridge-only vertices.
+    #
+    # REDEN_SURVIVORS_MODE picks how that remainder materializes (A/B knob,
+    # VERDICT r4 task #3):
+    #   inline  (default) — lazy persist: NO barrier job; the bridge subtree
+    #     materializes inside the final links query, where AQE overlaps it
+    #     with the query's other stages (block-level locks dedupe the two
+    #     concurrent semi-join consumers — lazy persist, unlike lazy
+    #     localCheckpoint, is AQE-safe).
+    #   barrier — eager shared() checkpoint of the remainder (the round-4
+    #     shape, minus the distinct and minus re-checkpointing colored rows).
+    bridge_extra = bridge_counts.filter(F.col("n_mentions") >= 2).select("conv_id", "v")
+    if os.environ.get("REDEN_SURVIVORS_MODE", "inline") == "barrier" or checkpoint_mode() != "local":
+        # non-local modes keep the explicit materialization: on a real
+        # cluster a persisted block lost with its executor is recomputed from
+        # checkpointed inputs, but reliable-mode deployments asked for
+        # everything restartable from the checkpoint store
+        bridge_extra = shared(bridge_extra)
+    else:
+        bridge_extra = bridge_extra.persist(StorageLevel.MEMORY_AND_DISK)
+    survivors = colored.unionByName(bridge_extra)
 
     return (
         edges.join(survivors.withColumnRenamed("v", "src"), ["conv_id", "src"], "left_semi")

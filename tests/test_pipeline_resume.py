@@ -133,3 +133,16 @@ def test_checkpoint_shared_mode_matrix_same_triples(spark, fixture_dir, tmp_path
                     assert got == baseline, f"cell ({ck}, {sub}) diverged"
     finally:
         checkpointing.set_checkpoint_mode(None)
+
+
+def test_survivors_mode_parity(spark, fixture_dir, tmp_path, monkeypatch):
+    """The barrier-free inline survivors materialization (lazy persist of the
+    bridge-only remainder, no distinct — VERDICT r4 task #3) must emit exactly
+    the triples of the round-4 barrier shape."""
+    outs = {}
+    for mode in ("inline", "barrier"):
+        monkeypatch.setenv("REDEN_SURVIVORS_MODE", mode)
+        dfs = run_pipeline(spark, fixture_dir, tmp_path / f"kg_sv_{mode}", CFG)
+        outs[mode] = _triples(dfs)
+    assert len(outs["inline"]) > 100
+    assert outs["inline"] == outs["barrier"]
