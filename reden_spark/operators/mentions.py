@@ -171,27 +171,20 @@ def detect_mentions(turns: DataFrame, terms: DataFrame, terms_path: str | None =
 
     def gen(batches):
         matcher = _matcher_for(bc)
-        find = matcher.find
         for pdf in batches:
-            convs: list[str] = []
-            turn_i: list[int] = []
-            occs: list[int] = []
-            ments: list[str] = []
-            starts: list[int] = []
-            for conv, ti, txt in zip(pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values):
-                for oi, (m, s) in enumerate(find(txt or "")):
-                    convs.append(conv)
-                    turn_i.append(ti)
-                    occs.append(oi)
-                    ments.append(m)
-                    starts.append(s)
+            # one finditer pass over the NUL-joined batch buffer + vectorized
+            # numpy row/offset/occ_idx assembly, instead of a Python find()
+            # call and 5 list appends per row/match (the profiled residual of
+            # the round-4 kernel — VERDICT r4 task #6). Output rows and order
+            # are identical to the per-row loop (pinned by the oracle tests).
+            rows, occ, ments, starts = matcher.find_batch(pdf["text"].tolist())
             yield pd.DataFrame(
                 {
-                    "conv_id": convs,
-                    "turn_idx": np.asarray(turn_i, dtype=np.int32),
-                    "occ_idx": np.asarray(occs, dtype=np.int32),
+                    "conv_id": pdf["conv_id"].values[rows],
+                    "turn_idx": pdf["turn_idx"].values[rows].astype(np.int32),
+                    "occ_idx": occ,
                     "mention": ments,
-                    "start_pos": np.asarray(starts, dtype=np.int32),
+                    "start_pos": starts,
                 }
             )
 

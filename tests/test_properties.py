@@ -118,3 +118,28 @@ def test_pack_sequences_greedy_invariants(spark, token_counts, budget):
     for _, grp in df.groupby("shard"):
         seqs = sorted(grp["seq"].unique())
         assert seqs == list(range(len(seqs)))
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab \x00éç'", min_size=1, max_size=8), min_size=1, max_size=6),
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="ab \x00éç'\n", max_size=40)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_find_batch_equals_per_row_find(terms, texts):
+    """The one-pass NUL-joined batch scanner must emit exactly the per-row
+    find() matches, in the same order, for arbitrary terms and texts —
+    including NUL-containing terms (fallback path), None texts, and word
+    chars adjacent to row boundaries."""
+    from reden_spark.functions.gazetteer import GazetteerMatcher
+
+    m = GazetteerMatcher(terms)
+    expected = []
+    for i, t in enumerate(texts):
+        for oi, (term, s) in enumerate(m.find(t or "")):
+            expected.append((i, oi, term, s))
+    rows, occ, ments, starts = m.find_batch(list(texts))
+    assert list(zip(rows.tolist(), occ.tolist(), ments, starts.tolist())) == expected
