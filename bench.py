@@ -95,6 +95,71 @@ def _ensure_bucketed_transcripts(data_dir: Path, n_buckets: int = 32) -> None:
     (data_dir / "transcripts.bucketed.tmp").rename(src)
 
 
+def ensure_curation_bench_data(
+    n_docs: int = 2_000_000,
+    dup_clusters: int = 20_000,
+    cluster_size: int = 10,
+    boilerplate_cluster: int = 0,
+    name: str = "cur_scale",
+) -> Path:
+    """Generate (once) a deterministic ≥n_docs `documents` corpus for the
+    curation-pipeline scale bench, ENTIRELY with JVM-side expressions
+    (spark.range + hash-derived words — no driver-side row building at 2 M
+    rows). Layout: the first dup_clusters*cluster_size doc_ids form
+    near-duplicate clusters (cluster members share a 50-word template and
+    differ in a 2-word tail → high Jaccard, LSH-findable); the rest is unique
+    text. ``boilerplate_cluster`` > 0 additionally stamps that many docs with
+    ONE shared template (a single hot LSH band — the skewed-corpus variant
+    for the salt>1 scale point). Deterministic: xxhash64's fixed seed."""
+    from pyspark.sql import functions as F
+
+    from reden_spark.session import get_spark
+
+    out = BENCH_CACHE / f"{name}_v1"
+    marker = out / "documents.parquet"
+    if marker.exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    n_dup = dup_clusters * cluster_size
+    vocab = 50_000
+    spark = get_spark("reden-curgen", master="local[32]")
+    try:
+        df = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+        # template id: cluster-shared in the dup region, per-doc elsewhere,
+        # one global template for the boilerplate block
+        tpl = (
+            F.when(F.col("doc_id") < boilerplate_cluster, F.lit(-1).cast("long"))
+            .when(F.col("doc_id") < n_dup + boilerplate_cluster, (F.col("doc_id") / cluster_size).cast("long"))
+            .otherwise(F.col("doc_id") + n_docs)
+        )
+        body = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(49)),
+                lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("tpl"), i), F.lit(vocab)).cast("string")),
+            ),
+            " ",
+        )
+        tail = F.concat(
+            F.lit(" t"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(vocab)).cast("string"),
+            F.lit(" t"),
+            F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(vocab)).cast("string"),
+        )
+        langs = F.array(*[F.lit(x) for x in ("en", "fr", "de", "es", "it")])
+        docs = (
+            df.withColumn("tpl", tpl)
+            .withColumn("text", F.concat(body, tail))
+            .withColumn("lang", F.element_at(langs, (F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(5)) + 1).cast("int")))
+            .withColumn("source", F.lit("synthetic"))
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .select("doc_id", "text", "lang", "source", "n_chars")
+        )
+        docs.repartition(32).write.mode("overwrite").parquet(str(marker))
+    finally:
+        spark.stop()
+    return out
+
+
 def run_headline(master_cpus: str, data_dir: Path, repeats: int = 1) -> dict:
     """Full checkpointed pipeline wall clock. With repeats > 1, reports the
     MEDIAN of in-process runs (fresh checkpoint dir each) — the shared host
@@ -293,6 +358,18 @@ def run_stage_profile(master_cpus: str, data_dir: Path) -> dict:
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
 
+    agg = _parse_stage_metrics(evt_dir, "reden-")
+    shutil.rmtree(evt_dir, ignore_errors=True)
+    stages = {
+        name: {"wall_sec": round(walls.get(name, 0.0), 2), **{k: round(v, 2) for k, v in m.items()}}
+        for name, m in sorted(agg.items())
+    }
+    return {"cpus": int(master_cpus), "n_turns": n_turns, "elapsed_sec": round(elapsed, 2), "stages": stages}
+
+
+def _parse_stage_metrics(evt_dir: Path, prefix: str) -> dict[str, dict[str, float]]:
+    """Aggregate per-task metrics from a Spark event log, attributed to
+    pipeline stages via `<prefix><stage>` job groups."""
     stage_group: dict[int, str] = {}
     agg: dict[str, dict[str, float]] = {}
     for log in sorted(p for p in evt_dir.rglob("*") if p.is_file()):
@@ -306,9 +383,9 @@ def run_stage_profile(master_cpus: str, data_dir: Path) -> dict:
             kind = ev.get("Event")
             if kind == "SparkListenerJobStart":
                 group = (ev.get("Properties") or {}).get("spark.jobGroup.id", "")
-                if group.startswith("reden-"):
+                if group.startswith(prefix):
                     for si in ev.get("Stage Infos", []):
-                        stage_group[si["Stage ID"]] = group[len("reden-"):]
+                        stage_group[si["Stage ID"]] = group[len(prefix):]
             elif kind == "SparkListenerTaskEnd":
                 name = stage_group.get(ev.get("Stage ID"))
                 tm = ev.get("Task Metrics")
@@ -334,12 +411,62 @@ def run_stage_profile(master_cpus: str, data_dir: Path) -> dict:
                 ) / 2**20
                 a["input_mb"] += tm.get("Input Metrics", {}).get("Bytes Read", 0) / 2**20
                 a["output_mb"] += tm.get("Output Metrics", {}).get("Bytes Written", 0) / 2**20
+    return agg
+
+
+def run_curation_profile(
+    master_cpus: str, data_dir: Path, hot_band_cap: int = 10_000
+) -> dict:
+    """Per-stage resource profile of the CURATION pipeline (VERDICT r4 task
+    #4): runs plans/curation.run_curation over `data_dir`'s documents table
+    with the event log on, then attributes task metrics to the five stages
+    via their `reden-cur-<stage>` job groups. `hot_band_cap` passes through
+    to the pairs stage's auto-salt probe (lower it on the skewed corpus to
+    record a salt>1 point)."""
+    from reden_spark.operators import dedup
+    from reden_spark.plans.curation import run_curation
+    from reden_spark.session import get_spark
+
+    evt_dir = Path(tempfile.mkdtemp(prefix="reden_evt_"))
+    spark = get_spark(
+        "reden-cur-profile",
+        master=f"local[{master_cpus}]",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.dir": evt_dir.as_uri(),
+        },
+    )
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out_dir = tempfile.mkdtemp(prefix="reden_cur_out_", dir=ckpt_base)
+    load_before = os.getloadavg()[0]
+    try:
+        n_docs = spark.read.parquet(str(data_dir / "documents.parquet")).count()
+        t0 = time.time()
+        dfs = run_curation(spark, data_dir, out_dir, hot_band_cap=hot_band_cap)
+        counts = {s: dfs[s].count() for s in ("pairs", "clusters", "decontam", "packed")}
+        elapsed = time.time() - t0
+        walls = json.loads((Path(out_dir) / "_timings.json").read_text())
+    finally:
+        spark.stop()
+        shutil.rmtree(out_dir, ignore_errors=True)
+    agg = _parse_stage_metrics(evt_dir, "reden-cur-")
     shutil.rmtree(evt_dir, ignore_errors=True)
     stages = {
         name: {"wall_sec": round(walls.get(name, 0.0), 2), **{k: round(v, 2) for k, v in m.items()}}
         for name, m in sorted(agg.items())
     }
-    return {"cpus": int(master_cpus), "n_turns": n_turns, "elapsed_sec": round(elapsed, 2), "stages": stages}
+    return {
+        "cpus": int(master_cpus),
+        "n_docs": n_docs,
+        "elapsed_sec": round(elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "auto_salt": dedup._LAST_AUTO_SALT,
+        "hot_band_cap": hot_band_cap,
+        "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
+        "counts": counts,
+        "stages": stages,
+    }
 
 
 def _kernel_subprocess(cpus: str, data_dir: Path) -> dict:
@@ -379,6 +506,16 @@ def main() -> None:
         help="per-pipeline-stage CPU/shuffle/IO profile from the event log (pair with --cpus)",
     )
     ap.add_argument("--scale-corpus", action="store_true", help="profile on the larger scaling corpus")
+    ap.add_argument(
+        "--curation-profile",
+        action="store_true",
+        help="per-stage profile of the curation pipeline on a 2M-doc corpus (pair with --cpus)",
+    )
+    ap.add_argument(
+        "--curation-skewed",
+        action="store_true",
+        help="with --curation-profile: add a one-hot-band boilerplate block and a low band cap so the auto salt engages (salt>1 scale point)",
+    )
     ap.add_argument("--headline-only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument(
         "--layout-ab",
@@ -391,6 +528,18 @@ def main() -> None:
     ap.add_argument("--data", default=None, help=argparse.SUPPRESS)
     a = ap.parse_args()
 
+    if a.curation_profile:
+        if a.curation_skewed:
+            # 512 docs stamped with ONE template = one hot LSH band; cap 100
+            # puts it far over the per-task comparison budget, so the probe
+            # must arm salt = ceil(512/100) = 6 without any caller flag
+            data = ensure_curation_bench_data(boilerplate_cluster=512, name="cur_scale_skew")
+            cap = 100
+        else:
+            data = ensure_curation_bench_data()
+            cap = 10_000
+        print(json.dumps(run_curation_profile(a.cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"), data, cap)))
+        return
     if a.stage_profile:
         if a.scale_corpus:
             data = ensure_bench_data(n_convs=12000, name="kg_scale")

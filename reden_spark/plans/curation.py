@@ -76,6 +76,7 @@ def run_curation(
     budget: int = 512,
     n_shards: int = 8,
     salt: int | str = "auto",
+    hot_band_cap: int = 10_000,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the curation pipeline; returns the stage DataFrames.
 
@@ -112,7 +113,10 @@ def run_curation(
     docs = spark.read.parquet(str(data / "documents.parquet"))
 
     pairs = stage(
-        "pairs", lambda: minhash_lsh_pairs(docs, n_hashes, shingle_n, bands, threshold, salt=salt)
+        "pairs",
+        lambda: minhash_lsh_pairs(
+            docs, n_hashes, shingle_n, bands, threshold, salt=salt, hot_band_cap=hot_band_cap
+        ),
     )
     clusters = stage("clusters", lambda: dedup_clusters(docs, pairs))
     holdout_ids = stage(
@@ -174,6 +178,12 @@ def main() -> None:
         default="auto",
         help="hot-band salt for skewed corpora; 'auto' (default) probes band sizes at runtime",
     )
+    ap.add_argument(
+        "--hot-band-cap",
+        type=int,
+        default=10_000,
+        help="per-band comparison budget (cap^2 pairs per task) before the auto salt engages",
+    )
     a = ap.parse_args()
 
     spark = get_spark("reden-curation", master=a.master or os.environ.get("SPARK_MASTER"))
@@ -187,6 +197,7 @@ def main() -> None:
         budget=a.budget,
         n_shards=a.n_shards,
         salt=a.salt,
+        hot_band_cap=a.hot_band_cap,
     )
     print(
         json.dumps(
