@@ -67,7 +67,7 @@ def main() -> None:
     n_convs = {"bench": 3000, "scale": 12000, "xl": 48000}[a.corpus]
     data = ensure_bench_data(n_convs=n_convs, name=f"kg_{a.corpus}" if a.corpus != "bench" else "kg_bench")
 
-    art = ROOT / "bench_artifacts" / "scaling_r4.jsonl"
+    art = ROOT / "bench_artifacts" / "scaling_r5.jsonl"
     art.parent.mkdir(exist_ok=True)
     done = 0
     wait_deadline = time.time() + a.max_wait_min * 60
