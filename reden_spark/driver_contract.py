@@ -1153,6 +1153,113 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM samp)
 )
 
 
+# The synthetic documents text contains no URLs, so URL-curation oracles over
+# the raw table would pass vacuously; every 5th doc gains two deterministic
+# URLs in BOTH engines (mixed-case host + www. prefix exercise normalization;
+# blocked{0,1,2}.net rotates one-third of the injected hosts onto/off the
+# 2-entry blocklist so `blocked` is non-vacuously true AND false).
+_URL_SUFFIX_SQL = (
+    "' see https://www.Example' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' "
+    "|| CAST(doc_id AS VARCHAR) || ' and http://blocked' "
+    "|| CAST(doc_id % 3 AS VARCHAR) || '.net/x?q=1'"
+)
+_DUCK_URL_DOCS = f"""
+url_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN COALESCE(text, '') || {_URL_SUFFIX_SQL}
+              ELSE COALESCE(text, '') END AS text
+  FROM documents
+)
+"""
+
+
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = F.coalesce(F.col("text"), F.lit(""))
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            base,
+            F.lit(" see https://www.Example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://blocked"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".net/x?q=1"),
+        ),
+    ).otherwise(base)
+    return _read(spark, sf_dir, "documents").withColumn("text", injected)
+
+
+# DuckDB twin of textstats._domains (lowercased, www.-stripped host list)
+_DUCK_DOMAINS = (
+    "list_transform(regexp_extract_all(text, '{dom_re}', 1), "
+    "x -> regexp_replace(lower(x), '^www\\.', ''))"
+)
+
+
+def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import url_extract
+
+    return url_extract(_url_docs(spark, sf_dir))
+
+
+def _o_text_url_extract() -> str:
+    from .operators.textstats import URL_DOMAIN_RE, URL_RE
+
+    doms = _DUCK_DOMAINS.format(dom_re=URL_DOMAIN_RE)
+    return f"""
+WITH {_DUCK_URL_DOCS},
+u AS (
+  SELECT doc_id, text, list_sort(list_distinct({doms})) AS doms FROM url_docs
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{URL_RE}'))::INT AS n_urls,
+       len(doms)::INT AS n_domains,
+       COALESCE(array_to_string(doms, ','), '') AS domains
+FROM u
+"""
+
+
+def q_doc_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import domain_filter
+
+    blocklist = spark.createDataFrame(
+        [("blocked0.net",), ("blocked1.net",)], "domain string"
+    )
+    return domain_filter(_url_docs(spark, sf_dir), blocklist)
+
+
+def _o_doc_domain_filter() -> str:
+    from .operators.textstats import URL_DOMAIN_RE
+
+    doms = _DUCK_DOMAINS.format(dom_re=URL_DOMAIN_RE)
+    return f"""
+WITH {_DUCK_URL_DOCS},
+u AS (
+  SELECT doc_id, unnest(list_distinct({doms})) AS domain FROM url_docs
+)
+SELECT doc_id, domain, domain IN ('blocked0.net', 'blocked1.net') AS blocked
+FROM u
+"""
+
+
+def q_doc_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import shuffle_deterministic
+
+    return shuffle_deterministic(_read(spark, sf_dir, "documents"), seed=42)
+
+
+# The oracle states the SEMANTICS (one global ORDER BY); the operator computes
+# the identical ranks via the 256-bucket distributed-rank plan — the bucket is
+# a prefix of the sort key, so (bucket, key) order IS key order.
+O_DOC_SHUFFLE = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS position
+FROM documents
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The chained end-to-end curation recipe a 100 TB training-data run
     executes (plans/curation.py is the checkpointed/resumable production
@@ -3051,8 +3158,9 @@ assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (
 # Oracle-checked by PYTEST this round (tests/test_driver_contract.py runs the
 # union of both registries through the identical comparison): the 14 rows
 # rotated OUT of the driver window above — all driver-green in both the r3
-# and r4 CORRECTNESS artifacts, oracles unchanged. They rotate back into
-# QUERIES next round.
+# and r4 CORRECTNESS artifacts, oracles unchanged (they rotate back into
+# QUERIES next round) — plus the 3 operators added in round 5 (URL inventory,
+# domain blocklist filter, deterministic seeded shuffle).
 PYTEST_QUERIES = {
     "kg_eval_verdicts": q_kg_eval_verdicts,
     "kg_preannotate": q_kg_preannotate,
@@ -3068,6 +3176,10 @@ PYTEST_QUERIES = {
     "dico_geonames": q_dico_geonames,
     "rel_lifespan": q_rel_lifespan,
     "media_image_stats": q_media_image_stats,
+    # --- new in round 5 (never yet driver-windowed; rotate in next round) ---
+    "text_url_extract": q_text_url_extract,
+    "doc_domain_filter": q_doc_domain_filter,
+    "doc_shuffle_deterministic": q_doc_shuffle_deterministic,
 }
 
 PYTEST_ORACLES = {
@@ -3085,6 +3197,9 @@ PYTEST_ORACLES = {
     "dico_geonames": O_DICO_GEONAMES,
     "rel_lifespan": O_REL_LIFESPAN,
     "media_image_stats": O_MEDIA_IMAGE_STATS,
+    "text_url_extract": _o_text_url_extract(),
+    "doc_domain_filter": _o_doc_domain_filter(),
+    "doc_shuffle_deterministic": O_DOC_SHUFFLE,
 }
 
 # Union view for consumers that time/run queries regardless of which evidence
@@ -3092,7 +3207,7 @@ PYTEST_ORACLES = {
 ALL_QUERIES = {**QUERIES, **PYTEST_QUERIES}
 ALL_ORACLES = {**ORACLES, **PYTEST_ORACLES}
 
-assert len(PYTEST_QUERIES) == 14 and set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
+assert len(PYTEST_QUERIES) == 17 and set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
 
 # back-compat alias (round-4 docs referred to these as the retired rows)
 RETIRED_QUERIES = PYTEST_QUERIES

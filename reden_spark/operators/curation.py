@@ -200,3 +200,63 @@ def decontaminate(docs: DataFrame, holdout: DataFrame, shingle_n: int = 8) -> Da
         F.coalesce("n_hit_shingles", F.lit(0)).cast("long").alias("n_hit_shingles"),
         (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def domain_filter(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """Domain blocklist decision — the second half of C4/RefinedWeb-style URL
+    curation (textstats.url_extract is the inventory half): explode each doc's
+    extracted hosts and flag the ones on the blocklist. Returns one row per
+    (doc, domain) occurrence set: (doc_id, domain, blocked); docs without URLs
+    emit no rows (they have no decision to make).
+
+    `blocklist` is a (domain) frame — deduped defensively so a repeated
+    blocklist entry cannot duplicate output rows. Scale shape: blocklists are
+    KB-to-MB even for millions of domains, so the join is broadcast-hinted;
+    the explode is map-only. A genuinely huge blocklist degrades to one
+    shuffle keyed on the domain — still linear, and AQE overrides the hint
+    when the build side exceeds the broadcast threshold.
+    """
+    from .textstats import _domains, _text
+
+    doms = docs.select(
+        "doc_id", F.explode(F.array_distinct(_domains(_text()))).alias("domain")
+    )
+    bl = blocklist.select(F.col("domain").alias("_bl_domain")).distinct()
+    return doms.join(
+        F.broadcast(bl), doms["domain"] == bl["_bl_domain"], "left"
+    ).select("doc_id", "domain", F.col("_bl_domain").isNotNull().alias("blocked"))
+
+
+def shuffle_deterministic(docs: DataFrame, seed: int = 0) -> DataFrame:
+    """Seeded deterministic global shuffle — the last step of a training-data
+    recipe (fix the example order so a run is reproducible): (doc_id, position)
+    with position = the doc's 1-based rank under ORDER BY md5(seed:doc_id).
+    No RNG: the keyed hash IS the permutation, so any engine reproduces it.
+
+    Scale shape: a naive global row_number() serializes the corpus through ONE
+    window partition — the classic total-order bottleneck. Instead this uses
+    the distributed-rank pattern: the first two hex chars of the hash split
+    the corpus into 256 uniform buckets (a prefix of the sort key, so bucket
+    order IS global order); per-bucket counts (exactly <=256 rows, the one
+    bounded collect) prefix-sum into offsets on the driver; each bucket then
+    ranks independently in parallel and adds its offset. One shuffle, 256-way
+    parallel sort, no single-task stage at any corpus size.
+    """
+    k = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    hashed = docs.select("doc_id", k.alias("_k"), F.substring(k, 1, 2).alias("_b"))
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in hashed.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[lit for b in sorted(offsets) for lit in (F.lit(b), F.lit(offsets[b]))]
+    )
+    w = Window.partitionBy("_b").orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+    return hashed.select(
+        "doc_id",
+        (F.row_number().over(w) + off_map[F.col("_b")]).cast("long").alias("position"),
+    )

@@ -310,3 +310,37 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df_docs", "tfidf", "rnk")
     )
+
+
+# URL patterns shared verbatim by the Spark expressions and the DuckDB oracle.
+# Whitespace is spelled as the explicit class [ \t\n\f\r] (not \s) for the same
+# dialect-divergence reason as BPE_PRETOKEN_RE above; no lookarounds, no
+# back-references — the subset Java regex and RE2 implement identically.
+URL_RE = r"https?://[^ \t\n\f\r]+"
+URL_DOMAIN_RE = r"https?://([^/ \t\n\f\r]+)"
+
+
+def _domains(text_col) -> "F.Column":
+    """Lowercased, www.-stripped host list extracted from a text column."""
+    return F.transform(
+        F.regexp_extract_all(text_col, F.lit(URL_DOMAIN_RE), 1),
+        lambda d: F.regexp_replace(F.lower(d), r"^www\.", ""),
+    )
+
+
+def url_extract(docs: DataFrame) -> DataFrame:
+    """Per-document URL inventory — the first half of C4/RefinedWeb-style
+    domain curation (the second half, the blocklist decision, is
+    curation.domain_filter): (doc_id, n_urls, n_domains, domains) where
+    `domains` is the sorted-distinct hosts comma-joined (lowercased,
+    leading 'www.' stripped) so the frame stays one narrow row per doc.
+    Pure codegen regexp_extract_all/transform chain — no UDF, no shuffle:
+    this is a map-only pass whatever the corpus size."""
+    t = _text()
+    doms = F.array_sort(F.array_distinct(_domains(t)))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).alias("n_urls"),
+        F.size(doms).alias("n_domains"),
+        F.array_join(doms, ",").alias("domains"),
+    )

@@ -775,3 +775,57 @@ def test_minhash_auto_salt_engages_on_boilerplate(spark):
     # quiet corpus: the probe must leave the plan unsalted
     minhash_lsh_pairs(docs.filter("doc_id >= 1000"), 12, 3, 4, 0.5, hot_band_cap=50).collect()
     assert dedup._LAST_AUTO_SALT == 1
+
+
+def test_url_extract_normalizes_hosts(spark):
+    from reden_spark.operators.textstats import url_extract
+
+    docs = spark.createDataFrame(
+        [
+            (0, "see https://WWW.Example.COM/a and http://example.com/b plus https://sub.www.org/c"),
+            (1, "no urls here"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in url_extract(docs).collect()}
+    # both example.com spellings normalize to ONE domain; sub.www.org keeps its
+    # prefix (only a LEADING www. is stripped)
+    assert got[0].n_urls == 3
+    assert got[0].n_domains == 2
+    assert got[0].domains == "example.com,sub.www.org"
+    assert (got[1].n_urls, got[1].domains) == (0, "")
+    assert (got[2].n_urls, got[2].domains) == (0, "")  # NULL text == empty
+
+
+def test_domain_filter_blocklist_dedup_and_no_url_docs(spark):
+    from reden_spark.operators.curation import domain_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "visit https://bad.example.net/x and https://good.org/y"),
+            (1, "nothing to decide"),
+        ],
+        "doc_id long, text string",
+    )
+    # duplicated blocklist entries must not duplicate output rows
+    blocklist = spark.createDataFrame(
+        [("bad.example.net",), ("bad.example.net",)], "domain string"
+    )
+    rows = sorted(map(tuple, domain_filter(docs, blocklist).collect()))
+    assert rows == [(0, "bad.example.net", True), (0, "good.org", False)]
+
+
+def test_shuffle_deterministic_is_a_seeded_permutation(spark):
+    from reden_spark.operators.curation import shuffle_deterministic
+
+    docs = spark.createDataFrame([(i,) for i in range(257)], "doc_id long")
+    a = {r.doc_id: r.position for r in shuffle_deterministic(docs, seed=1).collect()}
+    # positions are exactly 1..n — the distributed-rank offsets are contiguous
+    # across all 256 hash buckets (257 docs guarantee at least one collision)
+    assert sorted(a.values()) == list(range(1, 258))
+    # rerun is identical; a different seed is a different permutation
+    a2 = {r.doc_id: r.position for r in shuffle_deterministic(docs, seed=1).collect()}
+    b = {r.doc_id: r.position for r in shuffle_deterministic(docs, seed=2).collect()}
+    assert a == a2
+    assert sorted(b.values()) == list(range(1, 258)) and b != a
