@@ -117,7 +117,9 @@ def ensure_curation_bench_data(
 
     out = BENCH_CACHE / f"{name}_v1"
     marker = out / "documents.parquet"
-    if marker.exists():
+    # _SUCCESS, not the directory: an interrupted write leaves the dir behind
+    # and would otherwise pass as a completed corpus forever after
+    if (marker / "_SUCCESS").exists():
         return out
     out.mkdir(parents=True, exist_ok=True)
     n_dup = dup_clusters * cluster_size

@@ -78,6 +78,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if hit is None:
         _evict_stale(_READ_CACHE, key[0], key)
         hit = _READ_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        _touch_sfdir(key[1])
     return hit
 
 
@@ -250,15 +252,23 @@ def _evict_stale(cache: dict, app_id: str, key=None) -> None:
     ]:
         _unpersist_frames(cache.pop(stale))
     if key is not None:
-        sf_dir = key[1]
-        if sf_dir in _SFDIR_LRU:
-            _SFDIR_LRU.remove(sf_dir)
-        _SFDIR_LRU.insert(0, sf_dir)
-        for dropped in _SFDIR_LRU[2:]:
-            for c in _ALL_CACHES:
-                for k in [k for k in c if k[1] == dropped]:
-                    _unpersist_frames(c.pop(k))
-        del _SFDIR_LRU[2:]
+        _touch_sfdir(key[1])
+
+
+def _touch_sfdir(sf_dir: str) -> None:
+    """Mark sf_dir most-recently-used and sweep beyond-bound dirs from ALL
+    caches. Called on cache HITS as well as misses — otherwise a dir served
+    purely from hits never refreshes its LRU slot and one query on a new dir
+    would evict the hot dir's localCheckpoint blocks out from under callers
+    still holding its frames."""
+    if sf_dir in _SFDIR_LRU:
+        _SFDIR_LRU.remove(sf_dir)
+    _SFDIR_LRU.insert(0, sf_dir)
+    for dropped in _SFDIR_LRU[2:]:
+        for c in _ALL_CACHES:
+            for k in [k for k in c if k[1] == dropped]:
+                _unpersist_frames(c.pop(k))
+    del _SFDIR_LRU[2:]
 
 
 def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -274,6 +284,7 @@ def _kg_stack(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, str(sf_dir), _sf_fingerprint(str(sf_dir)))
     hit = _STACK_CACHE.get(key)
     if hit is not None:
+        _touch_sfdir(key[1])
         return hit
     _evict_stale(_STACK_CACHE, key[0], key)
     transcripts = derive_transcripts(spark, sf_dir)
@@ -600,6 +611,7 @@ def _links(spark: SparkSession, sf_dir: str, grouped: bool = False) -> DataFrame
     key = (spark.sparkContext.applicationId, str(sf_dir), grouped, _sf_fingerprint(str(sf_dir)))
     hit = _LINKS_CACHE.get(key)
     if hit is not None:
+        _touch_sfdir(key[1])
         return hit
     _evict_stale(_LINKS_CACHE, key[0], key)
     s = _kg_stack(spark, sf_dir)
@@ -831,6 +843,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, str(sf_dir), _sf_fingerprint(str(sf_dir)))
     hit = _PAIRS_CACHE.get(key)
     if hit is not None:
+        _touch_sfdir(key[1])
         return hit
     _evict_stale(_PAIRS_CACHE, key[0], key)
     pairs = checkpoint(minhash_lsh_pairs(_read(spark, sf_dir, "documents"), 12, 3, 4, 0.5))

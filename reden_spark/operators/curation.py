@@ -209,8 +209,10 @@ def domain_filter(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
     (doc, domain) occurrence set: (doc_id, domain, blocked); docs without URLs
     emit no rows (they have no decision to make).
 
-    `blocklist` is a (domain) frame — deduped defensively so a repeated
-    blocklist entry cannot duplicate output rows. Scale shape: blocklists are
+    `blocklist` is a (domain) frame — normalized with the SAME rule as the
+    document side (lowercase, leading-www. strip; real-world blocklists mix
+    spellings) and deduped so a repeated entry cannot duplicate output rows.
+    Scale shape: blocklists are
     KB-to-MB even for millions of domains, so the join is broadcast-hinted;
     the explode is map-only. A genuinely huge blocklist degrades to one
     shuffle keyed on the domain — still linear, and AQE overrides the hint
@@ -221,7 +223,9 @@ def domain_filter(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
     doms = docs.select(
         "doc_id", F.explode(F.array_distinct(_domains(_text()))).alias("domain")
     )
-    bl = blocklist.select(F.col("domain").alias("_bl_domain")).distinct()
+    bl = blocklist.select(
+        F.regexp_replace(F.lower(F.col("domain")), r"^www\.", "").alias("_bl_domain")
+    ).distinct()
     return doms.join(
         F.broadcast(bl), doms["domain"] == bl["_bl_domain"], "left"
     ).select("doc_id", "domain", F.col("_bl_domain").isNotNull().alias("blocked"))
@@ -239,11 +243,15 @@ def shuffle_deterministic(docs: DataFrame, seed: int = 0) -> DataFrame:
     the corpus into 256 uniform buckets (a prefix of the sort key, so bucket
     order IS global order); per-bucket counts (exactly <=256 rows, the one
     bounded collect) prefix-sum into offsets on the driver; each bucket then
-    ranks independently in parallel and adds its offset. One shuffle, 256-way
-    parallel sort, no single-task stage at any corpus size.
+    ranks independently in parallel and adds its offset. The hashed projection
+    is persisted so the counts probe and the final ranking share ONE corpus
+    scan + md5 pass; one shuffle, 256-way parallel sort, no single-task stage
+    at any corpus size.
     """
     k = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
-    hashed = docs.select("doc_id", k.alias("_k"), F.substring(k, 1, 2).alias("_b"))
+    hashed = docs.select(
+        "doc_id", k.alias("_k"), F.substring(k, 1, 2).alias("_b")
+    ).persist()
     counts = {
         r["_b"]: r["cnt"]
         for r in hashed.groupBy("_b").agg(F.count("*").alias("cnt")).collect()

@@ -123,6 +123,8 @@ def auto_salt_for(max_band: int, cap: int, max_salt: int = 64) -> int:
     per-task comparison budget (cap^2 pairs), else enough salt to shrink the
     hottest band's task back under it, bounded by max_salt (right-side
     replication cost grows linearly with salt)."""
+    if cap <= 0:
+        raise ValueError(f"hot_band_cap must be positive, got {cap}")
     if max_band <= cap:
         return 1
     return min(max_salt, -(-max_band // cap))

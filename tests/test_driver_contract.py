@@ -87,3 +87,36 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert df.columns == ["conv_id", "turn_idx", "occ_idx", "mention", "chosen_uris", "score", "path"]
+
+
+def test_sfdir_lru_refreshes_on_cache_hits():
+    """A dir served purely from cache hits must stay most-recently-used: one
+    query on a new dir would otherwise sweep the HOT dir's checkpointed frames
+    out from under callers still holding them (runs last in this module — it
+    drains the contract caches, so earlier params keep their warm stack)."""
+    from reden_spark import driver_contract as dc
+
+    for c in dc._ALL_CACHES:
+        for k in list(c):
+            dc._unpersist_frames(c.pop(k))
+    dc._SFDIR_LRU.clear()
+
+    class FakeDF:  # no unpersist(); _unpersist_frames swallows the error
+        pass
+
+    app = "app-lru-test"
+    dc._READ_CACHE[(app, "A", "docs", ("fp",))] = FakeDF()
+    dc._touch_sfdir("A")
+    dc._READ_CACHE[(app, "B", "docs", ("fp",))] = FakeDF()
+    dc._touch_sfdir("B")
+    dc._touch_sfdir("A")  # HIT on A — must refresh A's LRU slot
+    dc._READ_CACHE[(app, "C", "docs", ("fp",))] = FakeDF()
+    dc._touch_sfdir("C")  # bound=2 sweep: must drop B (LRU), never hot A
+    try:
+        assert any(k[1] == "A" for k in dc._READ_CACHE)
+        assert not any(k[1] == "B" for k in dc._READ_CACHE)
+        assert dc._SFDIR_LRU == ["C", "A"]
+    finally:
+        for c in dc._ALL_CACHES:
+            c.clear()
+        dc._SFDIR_LRU.clear()

@@ -754,6 +754,8 @@ def test_minhash_auto_salt_engages_on_boilerplate(spark):
     assert auto_salt_for(100, cap=10_000) == 1
     assert auto_salt_for(10_001, cap=10_000) == 2
     assert auto_salt_for(1_000_000, cap=10_000) == 64  # bounded
+    with pytest.raises(ValueError, match="hot_band_cap"):
+        auto_salt_for(5, cap=0)  # CLI-reachable misconfiguration
 
     # 120 boilerplate clones (one giant band) + 60 distinct docs
     rows = [(i, "shared boilerplate header repeated across the corpus body") for i in range(120)]
@@ -808,9 +810,10 @@ def test_domain_filter_blocklist_dedup_and_no_url_docs(spark):
         ],
         "doc_id long, text string",
     )
-    # duplicated blocklist entries must not duplicate output rows
+    # duplicated entries must not duplicate output rows, and blocklist
+    # spellings normalize like the document side (case, leading www.)
     blocklist = spark.createDataFrame(
-        [("bad.example.net",), ("bad.example.net",)], "domain string"
+        [("WWW.Bad.Example.NET",), ("bad.example.net",)], "domain string"
     )
     rows = sorted(map(tuple, domain_filter(docs, blocklist).collect()))
     assert rows == [(0, "bad.example.net", True), (0, "good.org", False)]
