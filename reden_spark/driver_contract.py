@@ -1273,6 +1273,61 @@ FROM documents
 """
 
 
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import chunk_windows
+
+    return chunk_windows(_read(spark, sf_dir, "documents"), window=24, stride=16)
+
+
+# DuckDB twin of the overlapping-window rule: k_last = 0 if n <= window else
+# ceil((n - window) / stride); list_slice is 1-based INCLUSIVE so chunk k is
+# toks[k*stride + 1 .. k*stride + window].
+O_DOC_CHUNK_WINDOWS = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\W+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 24 THEN 0
+              ELSE ceil((len(toks) - 24) / 16.0)::INT END AS k_last
+  FROM t
+), c AS (
+  SELECT doc_id, toks, n, unnest(generate_series(0, k_last)) AS chunk_idx FROM b
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       least(24, n - chunk_idx * 16)::INT AS n_chunk_words,
+       md5(array_to_string(list_slice(toks, chunk_idx * 16 + 1, chunk_idx * 16 + 24), ' ')) AS chunk_hash
+FROM c
+"""
+
+
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import ngram_topk
+
+    return ngram_topk(_read(spark, sf_dir, "documents"), n=2, k=20)
+
+
+O_TEXT_NGRAM_TOPK = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\W+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+                 FOR i IN generate_series(1, greatest(len(toks) - 1, 0))]) AS ngram
+  FROM t
+), pd AS (
+  SELECT ngram, doc_id, count(*) AS c FROM g GROUP BY 1, 2
+)
+SELECT ngram, sum(c)::BIGINT AS total_count, count(*)::BIGINT AS doc_freq
+FROM pd GROUP BY 1
+ORDER BY total_count DESC, ngram
+LIMIT 20
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The chained end-to-end curation recipe a 100 TB training-data run
     executes (plans/curation.py is the checkpointed/resumable production
@@ -3193,6 +3248,8 @@ PYTEST_QUERIES = {
     "text_url_extract": q_text_url_extract,
     "doc_domain_filter": q_doc_domain_filter,
     "doc_shuffle_deterministic": q_doc_shuffle_deterministic,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "text_ngram_topk": q_text_ngram_topk,
 }
 
 PYTEST_ORACLES = {
@@ -3213,6 +3270,8 @@ PYTEST_ORACLES = {
     "text_url_extract": _o_text_url_extract(),
     "doc_domain_filter": _o_doc_domain_filter(),
     "doc_shuffle_deterministic": O_DOC_SHUFFLE,
+    "doc_chunk_windows": O_DOC_CHUNK_WINDOWS,
+    "text_ngram_topk": O_TEXT_NGRAM_TOPK,
 }
 
 # Union view for consumers that time/run queries regardless of which evidence
@@ -3220,7 +3279,7 @@ PYTEST_ORACLES = {
 ALL_QUERIES = {**QUERIES, **PYTEST_QUERIES}
 ALL_ORACLES = {**ORACLES, **PYTEST_ORACLES}
 
-assert len(PYTEST_QUERIES) == 17 and set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
+assert len(PYTEST_QUERIES) == 19 and set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
 
 # back-compat alias (round-4 docs referred to these as the retired rows)
 RETIRED_QUERIES = PYTEST_QUERIES

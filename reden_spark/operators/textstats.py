@@ -344,3 +344,46 @@ def url_extract(docs: DataFrame) -> DataFrame:
         F.size(doms).alias("n_domains"),
         F.array_join(doms, ",").alias("domains"),
     )
+
+
+def ngram_topk(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level top-k word n-grams by total occurrence count — the global
+    boilerplate detector (repetition_signals is the per-document twin): the
+    n-grams that dominate a crawl are navigation chrome, cookie banners and
+    template text, and this table is what a curation recipe blocklists on.
+    Returns (ngram, total_count, doc_freq) — total occurrences across the
+    corpus and the number of distinct documents containing the n-gram —
+    ordered by total_count desc, ties broken by ngram asc, limited to k.
+
+    Scale shape: explode → partial-agg at (ngram, doc_id) grain (map-side
+    combine collapses within-doc repeats before the shuffle) → agg at ngram
+    grain → global top-k. Two keyed shuffles on n-gram-sized data plus a
+    TakeOrdered (orderBy+limit never materializes a total sort). The k rows
+    that reach the driver are the result itself.
+    """
+    toks = tokens(_text())
+    per_doc = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"case when size(toks) >= {n} then "
+                    f"transform(sequence(1, size(toks) - {n - 1}), "
+                    f"i -> array_join(slice(toks, i, {n}), ' ')) "
+                    "else array() end"
+                )
+            ).alias("ngram"),
+        )
+        .groupBy("ngram", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.sum("c").cast("long").alias("total_count"),
+            F.count("*").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.col("total_count").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -98,10 +98,23 @@ def main() -> None:
         if tps_key in p8 and tps_key in p32 and p8[tps_key]:
             rec["efficiency_8_to_32"] = round(p32[tps_key] / (4 * p8[tps_key]), 3)
         rec["quiet"] = quiet
+        # Mid-run contention marker: the load gate only sees ambient load at
+        # point START, so a co-tenant burst arriving DURING the 32-core run
+        # slips through (r5 pairs with 22-45 s walls vs the 4 s clean norm).
+        # For this embarrassingly-parallel fixed workload a 32-core run slower
+        # than the same-input 8-core run is physically impossible without
+        # external contention — mark such pairs, keep the record, retry.
+        contended = bool(
+            p8.get("elapsed_sec") and p32.get("elapsed_sec") and p32["elapsed_sec"] > p8["elapsed_sec"]
+        )
+        rec["contended"] = contended
         with art.open("a") as fh:
             fh.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
-        done += 1
+        if not contended:
+            done += 1
+        else:
+            print("pair contended (32-core wall > 8-core wall); retrying", flush=True)
     if done == 0:
         print(json.dumps({"gate_timeout": True, "minutes_waited": a.max_wait_min}), flush=True)
 
