@@ -354,3 +354,31 @@ def test_curation_plan_shapes(spark):
     assert n == 1, p[:1500]
     n, p = shuffles(decontaminate(docs.limit(400), docs.limit(100), 8))
     assert n == 3 and "BroadcastHashJoin" in p, p[:1500]
+
+
+def test_chunk_windows_is_map_only(spark):
+    """Sliding-window chunking must stay a single map-only pass: tokenize,
+    generate chunk indices, slice, hash — no Exchange at any corpus size."""
+    from reden_spark.operators.curation import chunk_windows
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan(chunk_windows(docs, window=24, stride=16))
+    assert "Exchange" not in p, p[:1500]
+    assert "Generate" in p  # the explode over chunk indices
+
+
+def test_ngram_topk_two_shuffles_and_takeordered(spark):
+    """ngram_topk's designed shape: partial agg at (ngram, doc) grain, final
+    agg at ngram grain (two keyed Exchanges on n-gram-sized data), and the
+    global top-k as TakeOrderedAndProject — never a total sort of the
+    aggregate table."""
+    import re
+
+    from reden_spark.operators.textstats import ngram_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan(ngram_topk(docs, n=2, k=20))
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", p)}
+    assert len(exchange_ids) == 2, f"expected 2 Exchanges, got {len(exchange_ids)}\n{p[:1500]}"
+    assert "Sort" not in p, p[:1500]  # top-k must never be a total sort
