@@ -1328,6 +1328,132 @@ LIMIT 20
 """
 
 
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import perplexity
+
+    return perplexity(_read(spark, sf_dir, "documents"))
+
+
+# DuckDB twin of the add-one bigram LM: the zipped unnest of toks[1:n-1] and
+# toks[2:n] is the (prev, cur) occurrence table; both engines compute the same
+# (c_ab + 1) / (c_prev + V) doubles so ln/round agree bit-for-bit.
+O_TEXT_PERPLEXITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\W+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS prev, unnest(toks[2:len(toks)]) AS cur
+  FROM t WHERE len(toks) >= 2
+), pd AS (
+  SELECT doc_id, prev, cur, count(*) AS k FROM b GROUP BY 1, 2, 3
+), cab AS (
+  SELECT prev, cur, sum(k) AS c_ab FROM pd GROUP BY 1, 2
+), cp AS (
+  SELECT prev, sum(c_ab) AS c_prev FROM cab GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT x) AS v FROM (SELECT unnest(toks) AS x FROM t)
+), term AS (
+  SELECT doc_id, k, c_ab, c_prev, v
+  FROM pd JOIN cab USING (prev, cur) JOIN cp USING (prev) CROSS JOIN v
+), agg AS (
+  SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+         -sum(k * ln((c_ab + 1)::DOUBLE / (c_prev + v))) / sum(k) AS nll
+  FROM term GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(COALESCE(a.nll, -1.0), 6) AS nll
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicated_spans
+
+    return duplicated_spans(_read(spark, sf_dir, "documents"), n=8)
+
+
+O_DEDUP_SPANS = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\W+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(list_slice(toks, i, i + 7), ' '))
+                 FOR i IN generate_series(1, greatest(len(toks) - 7, 0))]) AS gram
+  FROM t
+), pd AS (
+  SELECT doc_id, gram, count(*) AS k FROM g GROUP BY 1, 2
+), dupg AS (
+  SELECT gram FROM pd GROUP BY gram HAVING count(*) > 1
+), dup AS (
+  SELECT doc_id, sum(k) AS n_dup FROM pd JOIN dupg USING (gram) GROUP BY 1
+), base AS (
+  SELECT doc_id, greatest(len(toks) - 7, 0) AS n_grams FROM t
+)
+SELECT b.doc_id, b.n_grams::BIGINT AS n_grams,
+       COALESCE(d.n_dup, 0)::BIGINT AS n_dup_grams,
+       CASE WHEN b.n_grams > 0 THEN round(COALESCE(d.n_dup, 0)::DOUBLE / b.n_grams, 6)
+            ELSE -1.0 END AS dup_fraction
+FROM base b LEFT JOIN dup d USING (doc_id)
+"""
+
+
+def q_doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import domain_cap
+
+    return domain_cap(_url_docs(spark, sf_dir), cap=3, n_salt=8)
+
+
+def _o_doc_domain_cap() -> str:
+    from .operators.textstats import URL_DOMAIN_RE
+
+    doms = _DUCK_DOMAINS.format(dom_re=URL_DOMAIN_RE)
+    # The oracle states the SEMANTICS (global first-3-per-domain by doc_id);
+    # the operator's two-phase salted rank is provably equivalent (stage 1
+    # keeps each salt shard's first 3, a superset of the domain's first 3).
+    return f"""
+WITH {_DUCK_URL_DOCS},
+u AS (
+  SELECT doc_id, unnest(list_distinct({doms})) AS domain FROM url_docs
+), r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS domain_rank
+  FROM u
+)
+SELECT doc_id, domain, domain_rank::INT AS domain_rank FROM r WHERE domain_rank <= 3
+"""
+
+
+def q_kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.enrich import entity_pmi
+
+    return entity_pmi(_links(spark, sf_dir), min_pairs=2)
+
+
+O_KG_ENTITY_PMI = (
+    SQL_PREFIX
+    + """,
+ents AS (SELECT DISTINCT conv_id, uri FROM chosen_flat),
+pmi_pairs AS (
+  SELECT a.uri AS uri_a, b.uri AS uri_b, count(*) AS n_ab
+  FROM ents a JOIN ents b ON a.conv_id = b.conv_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+marg AS (SELECT uri, count(*) AS n FROM ents GROUP BY 1),
+nc AS (SELECT count(DISTINCT conv_id) AS n_convs FROM ents)
+SELECT p.uri_a, p.uri_b, p.n_ab::BIGINT AS n_ab, ma.n::BIGINT AS n_a, mb.n::BIGINT AS n_b,
+       round(ln(p.n_ab::DOUBLE * nc.n_convs / (ma.n * mb.n)), 6) AS pmi
+FROM pmi_pairs p
+JOIN marg ma ON ma.uri = p.uri_a
+JOIN marg mb ON mb.uri = p.uri_b
+CROSS JOIN nc
+"""
+)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The chained end-to-end curation recipe a 100 TB training-data run
     executes (plans/curation.py is the checkpointed/resumable production
@@ -3250,6 +3376,10 @@ PYTEST_QUERIES = {
     "doc_shuffle_deterministic": q_doc_shuffle_deterministic,
     "doc_chunk_windows": q_doc_chunk_windows,
     "text_ngram_topk": q_text_ngram_topk,
+    "text_perplexity": q_text_perplexity,
+    "dedup_spans": q_dedup_spans,
+    "doc_domain_cap": q_doc_domain_cap,
+    "kg_entity_pmi": q_kg_entity_pmi,
 }
 
 PYTEST_ORACLES = {
@@ -3272,6 +3402,10 @@ PYTEST_ORACLES = {
     "doc_shuffle_deterministic": O_DOC_SHUFFLE,
     "doc_chunk_windows": O_DOC_CHUNK_WINDOWS,
     "text_ngram_topk": O_TEXT_NGRAM_TOPK,
+    "text_perplexity": O_TEXT_PERPLEXITY,
+    "dedup_spans": O_DEDUP_SPANS,
+    "doc_domain_cap": _o_doc_domain_cap(),
+    "kg_entity_pmi": O_KG_ENTITY_PMI,
 }
 
 # Union view for consumers that time/run queries regardless of which evidence
@@ -3279,7 +3413,7 @@ PYTEST_ORACLES = {
 ALL_QUERIES = {**QUERIES, **PYTEST_QUERIES}
 ALL_ORACLES = {**ORACLES, **PYTEST_ORACLES}
 
-assert len(PYTEST_QUERIES) == 19 and set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
+assert len(PYTEST_QUERIES) == 23 and set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
 
 # back-compat alias (round-4 docs referred to these as the retired rows)
 RETIRED_QUERIES = PYTEST_QUERIES

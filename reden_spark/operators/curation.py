@@ -311,3 +311,44 @@ def chunk_windows(docs: DataFrame, window: int = 64, stride: int = 32) -> DataFr
             F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
         )
     )
+
+
+def domain_cap(docs: DataFrame, cap: int = 3, n_salt: int = 8) -> DataFrame:
+    """Per-domain quota cap — the third leg of C4/RefinedWeb-style URL
+    curation (url_extract inventories, domain_filter blocklists, this one
+    bounds over-represented hosts): keep at most `cap` documents per extracted
+    domain, deterministically the first `cap` by doc_id ascending. Returns the
+    capped corpus as (doc_id, domain, domain_rank) with domain_rank <= cap;
+    docs without URLs emit no rows (they are never domain-capped).
+
+    Scale shape: a naive row_number() over (domain) lands a hot domain's
+    entire row set on ONE task — at crawl scale a single host can be a
+    billion rows. Two-phase rank instead: stage 1 ranks within (domain, salt)
+    where salt = crc32(doc_id) % n_salt and keeps rank <= cap. Any doc in the
+    domain's global first `cap` has < cap docs before it globally, hence
+    < cap before it in its own salt shard — so stage 1's survivors are a
+    provable superset of the answer, and at most cap * n_salt rows per domain
+    reach stage 2's exact re-rank. Both stages are keyed window functions
+    (no total sort); the explode is map-only.
+    """
+    from .textstats import _domains, _text
+    from pyspark.sql.window import Window
+
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(_domains(_text()))).alias("domain")
+    )
+    salted = pairs.withColumn(
+        "_salt", F.crc32(F.col("doc_id").cast("string")) % n_salt
+    )
+    w1 = Window.partitionBy("domain", "_salt").orderBy(F.col("doc_id").asc())
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy("domain").orderBy(F.col("doc_id").asc())
+    return (
+        survivors.withColumn("domain_rank", F.row_number().over(w2))
+        .filter(F.col("domain_rank") <= cap)
+        .select("doc_id", "domain", F.col("domain_rank").cast("int").alias("domain_rank"))
+    )

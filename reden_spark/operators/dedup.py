@@ -344,3 +344,55 @@ def simhash_near_pairs(docs: DataFrame, shingle_n: int = 2, max_hamming: int = 8
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def duplicated_spans(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Exact duplicated-span detection at word grain (the ExactSubstr signal
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): flag every word n-gram OCCURRENCE
+    whose gram also appears in at least one other document, and report
+    per-document duplicated-span coverage: (doc_id, n_grams, n_dup_grams,
+    dup_fraction). n_grams counts occurrences (not distinct grams) =
+    max(n_words - n + 1, 0); dup_fraction = n_dup_grams / n_grams rounded to
+    6 decimals, -1.0 sentinel for docs too short for a single n-gram.
+
+    Scale shape: grams travel as md5 hashes only (never the text). One
+    explode to (doc, gram_hash) occurrences, partial-agg to (doc, gram, k) —
+    map-side combine collapses within-doc repeats before the shuffle — then
+    gram-grain doc_freq where only grams seen in >1 doc survive (a thin
+    fraction of a real corpus), left-semi joined back and re-aggregated at
+    doc grain. Two keyed shuffles on 16-byte keys plus map-only passes;
+    nothing is quadratic and no gram list is ever collected.
+    """
+    words = "split(trim(regexp_replace(lower(coalesce(text, '')), '\\\\W+', ' ')), ' ')"
+    grams = F.expr(
+        f"case when size({words}) >= {n} then "
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> md5(array_join(slice({words}, i, {n}), ' '))) "
+        "else array() end"
+    )
+    occ = docs.select("doc_id", F.explode(grams).alias("gram"))
+    per_doc = occ.groupBy("doc_id", "gram").agg(F.count("*").alias("k"))
+    dup_grams = per_doc.groupBy("gram").agg(F.count("*").alias("df")).filter(
+        F.col("df") > 1
+    )
+    dup = (
+        per_doc.join(dup_grams.select("gram"), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("k").alias("n_dup"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.expr(f"size({words}) - {n - 1}"), F.lit(0)).alias("n_grams"),
+    )
+    return base.join(dup, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_grams"), 6),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("dup_fraction"),
+    )

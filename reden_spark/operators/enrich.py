@@ -98,3 +98,61 @@ def geojson_feature_collection(points: DataFrame, lat_col: str = "lat", lon_col:
     definition human-scale; the distributed sink is `to_geojson(...).write`)."""
     feats = [r.feature for r in to_geojson(points, lat_col, lon_col).collect()]
     return '{"type": "FeatureCollection", "features": [' + ", ".join(feats) + "]}"
+
+
+def entity_pmi(links: DataFrame, min_pairs: int = 2) -> DataFrame:
+    """Entity co-occurrence PMI over conversations — the KG analytics twin of
+    occurrence_counts: for every pair of linked URIs that co-occur in at
+    least `min_pairs` conversations, pointwise mutual information
+    pmi = ln(n_ab * N / (n_a * n_b)) where n_x = conversations containing x
+    and N = conversations containing any link. This is the edge-weighting a
+    co-occurrence network / embedding pretraining step consumes downstream
+    of the linking pipeline. Returns (uri_a, uri_b, n_ab, n_a, n_b, pmi)
+    with uri_a < uri_b and pmi rounded to 6 decimals.
+
+    Scale shape: the per-conversation distinct entity set is conversation-
+    bounded (tens, not millions), so the within-conv self-join is one shuffle
+    keyed on conv_id with small groups; pair counting is one more keyed
+    shuffle at pair grain, pre-thinned by min_pairs. Marginals are
+    entity-vocabulary-grain (broadcastable); N enters the plan as a broadcast
+    1-row frame, never a driver constant. No UDF; all codegen.
+    """
+    ents = (
+        links.filter(F.col("chosen_uris").isNotNull() & (F.col("chosen_uris") != ""))
+        .select("conv_id", F.explode(F.split("chosen_uris", " ")).alias("uri"))
+        .distinct()
+    )
+    a, b = ents.alias("a"), ents.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id")) & (F.col("a.uri") < F.col("b.uri")),
+        )
+        .groupBy(F.col("a.uri").alias("uri_a"), F.col("b.uri").alias("uri_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    marg = ents.groupBy("uri").agg(F.count("*").alias("n"))
+    n_convs = ents.agg(F.countDistinct("conv_id").alias("n_convs"))
+    out = (
+        pairs.join(
+            marg.select(F.col("uri").alias("uri_a"), F.col("n").alias("n_a")), "uri_a"
+        )
+        .join(marg.select(F.col("uri").alias("uri_b"), F.col("n").alias("n_b")), "uri_b")
+        .crossJoin(F.broadcast(n_convs))
+    )
+    return out.select(
+        "uri_a",
+        "uri_b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.log(
+                F.col("n_ab").cast("double")
+                * F.col("n_convs")
+                / (F.col("n_a") * F.col("n_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )

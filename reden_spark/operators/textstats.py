@@ -387,3 +387,64 @@ def ngram_topk(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .orderBy(F.col("total_count").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def perplexity(docs: DataFrame) -> DataFrame:
+    """Corpus bigram-LM perplexity scoring — the classic CCNet/KenLM-style
+    quality signal (a document whose word transitions the corpus LM finds
+    surprising is boilerplate, gibberish or OCR noise): train add-one-smoothed
+    bigram counts over the WHOLE corpus, then score every document by its
+    average negative log-likelihood. P(w|p) = (c(p,w) + 1) / (c_prev(p) + V)
+    with V = corpus distinct-token count; nll = -(1/n) * sum ln P over the
+    doc's n bigram occurrences. Returns (doc_id, n_bigrams, nll), nll rounded
+    to 6 decimals with a -1.0 sentinel for docs shorter than two words.
+
+    Scale shape: the LM is two token-vocabulary-grain tables (bigram counts,
+    prefix counts) built by partial aggregation — map-side combine collapses
+    within-doc repeats before either shuffle. Scoring joins the per-(doc,
+    bigram) term table against them on the bigram/prefix keys (vocab-sized
+    build sides broadcast at typical vocab sizes; AQE decides otherwise) and
+    V enters the plan as a broadcast 1-row frame, never a driver constant.
+    No UDF anywhere; everything is codegen explode/agg/join.
+    """
+    toks = F.filter(tokens(_text()), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 2 then "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] as prev, toks[i] as cur)) "
+                "else array() end"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    per_doc = bigrams.groupBy("doc_id", "prev", "cur").agg(F.count("*").alias("k"))
+    c_ab = per_doc.groupBy("prev", "cur").agg(F.sum("k").alias("c_ab"))
+    c_prev = c_ab.groupBy("prev").agg(F.sum("c_ab").alias("c_prev"))
+    vocab = base.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    term = (
+        per_doc.join(c_ab, ["prev", "cur"])
+        .join(c_prev, "prev")
+        .crossJoin(F.broadcast(vocab))
+    )
+    scored = term.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        (
+            -F.sum(
+                F.col("k")
+                * F.log(
+                    (F.col("c_ab") + 1).cast("double") / (F.col("c_prev") + F.col("v"))
+                )
+            )
+            / F.sum("k")
+        ).alias("nll"),
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(F.coalesce("nll", F.lit(-1.0)), 6).alias("nll"),
+    )

@@ -382,3 +382,64 @@ def test_ngram_topk_two_shuffles_and_takeordered(spark):
     exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", p)}
     assert len(exchange_ids) == 2, f"expected 2 Exchanges, got {len(exchange_ids)}\n{p[:1500]}"
     assert "Sort" not in p, p[:1500]  # top-k must never be a total sort
+
+
+def test_perplexity_plan_shape(spark):
+    """Bigram-LM scoring must stay pure codegen: no Python eval anywhere, the
+    vocab-size scalar reaches the plan as a broadcast 1-row frame (never a
+    shuffled join or a driver constant) and nothing is a CartesianProduct."""
+    from reden_spark.operators.textstats import perplexity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan(perplexity(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:1500]
+    assert "CartesianProduct" not in p, p[:1500]
+    assert "BroadcastNestedLoopJoin" in p, p[:1500]  # the 1-row V crossJoin
+
+
+def test_duplicated_spans_plan_shape(spark):
+    """Duplicated-span detection: gram hashes only, the dup-gram probe is a
+    left-semi join, and no Cartesian/python anywhere."""
+    from reden_spark.operators.dedup import duplicated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan(duplicated_spans(docs, n=8))
+    assert "LeftSemi" in p, p[:1500]
+    assert "CartesianProduct" not in p, p[:1500]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:1500]
+
+
+def test_domain_cap_two_phase_rank(spark):
+    """domain_cap must rank twice — the salted pre-cap then the exact re-rank
+    — and every Exchange must be keyed (a SinglePartition exchange would mean
+    a global sort snuck in)."""
+    import re
+
+    from reden_spark.operators.curation import domain_cap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" http://host"), (F.col("doc_id") % 5).cast("string"), F.lit(".com/x"))
+    )
+    p = plan(domain_cap(docs, cap=3, n_salt=8))
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 2, p[:2000]
+    assert "Exchange SinglePartition" not in p, p[:2000]
+    # Spark 4 additionally rewrites each rank<=cap filter into map-side
+    # partial WindowGroupLimits — keep that optimization pinned: no more than
+    # cap rows per (domain, salt) per input split ever reach either Exchange.
+    assert "WindowGroupLimit" in p and ", Partial" in p, p[:2000]
+
+
+def test_entity_pmi_plan_shape(spark, tables):
+    """entity_pmi: the N scalar is a broadcast 1-row frame and the
+    within-conversation self-join is keyed (no CartesianProduct)."""
+    from reden_spark.operators.enrich import entity_pmi
+
+    links = spark.createDataFrame(
+        [("c1", 0, 0, "m", "http://a http://b", 1.0, "graph"),
+         ("c2", 0, 0, "m", "http://a http://b", 1.0, "graph")],
+        "conv_id string, turn_idx int, occ_idx int, mention string, chosen_uris string, score double, path string",
+    )
+    p = plan(entity_pmi(links, min_pairs=2))
+    assert "CartesianProduct" not in p, p[:1500]
+    assert "BroadcastNestedLoopJoin" in p, p[:1500]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:1500]
