@@ -269,6 +269,10 @@ PER_QUERY = [
     # dedup_minhash_lsh/dedup_clusters via driver_contract._minhash_pairs, as
     # a real run would share its materialized pair table)
     "curation_pipeline",
+    # round-5: the two corpus-grain additions (LM scoring and the ExactSubstr
+    # duplicated-span probe; keys additive as above)
+    "text_perplexity",
+    "dedup_spans",
 ]
 
 
