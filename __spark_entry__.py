@@ -14,9 +14,13 @@ and rows ROTATE between the driver window and the pytest window so every
 query earns a driver CORRECTNESS artifact: round 5 swaps IN the 14 rows
 that previously had only pytest evidence (PII redaction, quality gates,
 repetition signals, BPE-pretokenizer counting, greedy packing, semantic
-dedup clustering, IVF-PQ ANN, plus the 7 grouped/relational twins) and
-swaps OUT 14 stable rows driver-green in both r3 and r4, now pytest-pinned
-(driver_contract.PYTEST_QUERIES, tests/test_driver_contract.py).
+dedup clustering, IVF-PQ ANN, plus the 7 grouped/relational twins) AND the
+9 operators added during round 5 (URL inventory, domain filter/cap,
+deterministic shuffle, chunk windows, corpus n-gram top-k, bigram-LM
+perplexity, duplicated-span coverage, entity PMI), swapping OUT 23 stable
+rows driver-green in both r3 and r4, now pytest-pinned
+(driver_contract.PYTEST_QUERIES, tests/test_driver_contract.py). With this
+swap every one of the 73 rows has a driver CORRECTNESS entry in r1-r5.
 """
 
 from __future__ import annotations

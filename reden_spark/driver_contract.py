@@ -3237,7 +3237,19 @@ WHERE alias != ''
 #     PYTEST_QUERIES below against their unchanged oracles.
 # Ordered defensively: never-driver-evidenced rows first.
 QUERIES = {
-    # --- rotated IN this round: first-ever driver evidence for these 14 ---
+    # --- rotated IN this round: first-ever driver evidence for these 14
+    # round-4 rows and (second swap, same round) the 9 round-5 operators;
+    # with this swap every one of the 73 contract rows has appeared in a
+    # driver CORRECTNESS window at least once across rounds 1-5 ---
+    "text_url_extract": q_text_url_extract,
+    "doc_domain_filter": q_doc_domain_filter,
+    "doc_shuffle_deterministic": q_doc_shuffle_deterministic,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "text_ngram_topk": q_text_ngram_topk,
+    "text_perplexity": q_text_perplexity,
+    "dedup_spans": q_dedup_spans,
+    "doc_domain_cap": q_doc_domain_cap,
+    "kg_entity_pmi": q_kg_entity_pmi,
     "text_redact_pii": q_text_redact_pii,
     "text_quality_filter": q_text_quality_filter,
     "text_pretoken_count": q_text_pretoken_count,
@@ -3253,8 +3265,6 @@ QUERIES = {
     "kg_occurrences": q_kg_occurrences,
     "kg_author_enrich": q_kg_author_enrich,
     # --- stable body (driver-green r3+r4) ---
-    "media_audio_stats": q_media_audio_stats,
-    "media_frame_stats": q_media_frame_stats,
     "rel_pushdown_agg": q_rel_pushdown_agg,
     "rel_join_topk": q_rel_join_topk,
     "rel_sessionize": q_rel_sessionize,
@@ -3263,7 +3273,6 @@ QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash,
-    "media_features": q_media_features,
     "kg_mentions": q_kg_mentions,
     "kg_candidates": q_kg_candidates,
     "kg_conversation_cases": q_kg_cases,
@@ -3282,16 +3291,19 @@ QUERIES = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "text_decontaminate": q_text_decontaminate,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivf_trained": q_ann_ivf_trained,
-    "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
-    "text_language_id": q_text_language_id,
-    "text_fingerprint": q_text_fingerprint,
 }
 
 ORACLES = {
+    "text_url_extract": _o_text_url_extract(),
+    "doc_domain_filter": _o_doc_domain_filter(),
+    "doc_shuffle_deterministic": O_DOC_SHUFFLE,
+    "doc_chunk_windows": O_DOC_CHUNK_WINDOWS,
+    "text_ngram_topk": O_TEXT_NGRAM_TOPK,
+    "text_perplexity": O_TEXT_PERPLEXITY,
+    "dedup_spans": O_DEDUP_SPANS,
+    "doc_domain_cap": _o_doc_domain_cap(),
+    "kg_entity_pmi": O_KG_ENTITY_PMI,
     "text_redact_pii": _o_text_redact_pii(),
     "text_quality_filter": _o_text_quality_filter(),
     "text_pretoken_count": _o_text_pretoken_count(),
@@ -3306,8 +3318,6 @@ ORACLES = {
     "kg_score_extract": O_KG_SCORE_EXTRACT,
     "kg_occurrences": O_KG_OCCURRENCES,
     "kg_author_enrich": O_KG_AUTHOR_ENRICH,
-    "media_audio_stats": O_MEDIA_AUDIO_STATS,
-    "media_frame_stats": O_MEDIA_FRAME_STATS,
     "rel_pushdown_agg": O_REL_PUSHDOWN_AGG,
     "rel_join_topk": O_REL_JOIN_TOPK,
     "rel_sessionize": O_REL_SESSIONIZE,
@@ -3316,7 +3326,6 @@ ORACLES = {
     "doc_pack_sequences": O_DOC_PACK_SEQUENCES,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "dedup_minhash_lsh": O_DEDUP_MINHASH,
-    "media_features": O_MEDIA_FEATURES,
     "kg_mentions": O_KG_MENTIONS,
     "kg_candidates": O_KG_CANDIDATES,
     "kg_conversation_cases": O_KG_CASES,
@@ -3335,13 +3344,7 @@ ORACLES = {
     "doc_sample_stratified": O_DOC_SAMPLE_STRATIFIED,
     "text_decontaminate": O_TEXT_DECONTAMINATE,
     "ann_cosine_topk": O_ANN_COSINE,
-    "ann_lsh_topk": _o_ann_lsh_topk(),
-    "ann_ivf_topk": O_ANN_IVF,
-    "ann_ivf_trained": _o_ann_ivf_trained(),
-    "text_token_count": O_TEXT_TOKEN_COUNT,
     "text_quality": O_TEXT_QUALITY,
-    "text_language_id": O_TEXT_LANGUAGE_ID,
-    "text_fingerprint": O_TEXT_FINGERPRINT,
 }
 
 assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (
@@ -3350,11 +3353,10 @@ assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (
 )
 
 # Oracle-checked by PYTEST this round (tests/test_driver_contract.py runs the
-# union of both registries through the identical comparison): the 14 rows
-# rotated OUT of the driver window above — all driver-green in both the r3
-# and r4 CORRECTNESS artifacts, oracles unchanged (they rotate back into
-# QUERIES next round) — plus the 3 operators added in round 5 (URL inventory,
-# domain blocklist filter, deterministic seeded shuffle).
+# union of both registries through the identical comparison): 23 rows that
+# are all driver-green in at least one prior CORRECTNESS artifact (the 14
+# rotated out at round-5 start, plus 9 stable r3+r4-green rows demoted when
+# the round-5 operators were promoted into the driver window above).
 PYTEST_QUERIES = {
     "kg_eval_verdicts": q_kg_eval_verdicts,
     "kg_preannotate": q_kg_preannotate,
@@ -3370,16 +3372,17 @@ PYTEST_QUERIES = {
     "dico_geonames": q_dico_geonames,
     "rel_lifespan": q_rel_lifespan,
     "media_image_stats": q_media_image_stats,
-    # --- new in round 5 (never yet driver-windowed; rotate in next round) ---
-    "text_url_extract": q_text_url_extract,
-    "doc_domain_filter": q_doc_domain_filter,
-    "doc_shuffle_deterministic": q_doc_shuffle_deterministic,
-    "doc_chunk_windows": q_doc_chunk_windows,
-    "text_ngram_topk": q_text_ngram_topk,
-    "text_perplexity": q_text_perplexity,
-    "dedup_spans": q_dedup_spans,
-    "doc_domain_cap": q_doc_domain_cap,
-    "kg_entity_pmi": q_kg_entity_pmi,
+    # --- demoted when the 9 round-5 operators were promoted (driver-green
+    # in both the r3 and r4 CORRECTNESS artifacts, oracles unchanged) ---
+    "media_audio_stats": q_media_audio_stats,
+    "media_frame_stats": q_media_frame_stats,
+    "media_features": q_media_features,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_trained": q_ann_ivf_trained,
+    "text_token_count": q_text_token_count,
+    "text_language_id": q_text_language_id,
+    "text_fingerprint": q_text_fingerprint,
 }
 
 PYTEST_ORACLES = {
@@ -3397,15 +3400,15 @@ PYTEST_ORACLES = {
     "dico_geonames": O_DICO_GEONAMES,
     "rel_lifespan": O_REL_LIFESPAN,
     "media_image_stats": O_MEDIA_IMAGE_STATS,
-    "text_url_extract": _o_text_url_extract(),
-    "doc_domain_filter": _o_doc_domain_filter(),
-    "doc_shuffle_deterministic": O_DOC_SHUFFLE,
-    "doc_chunk_windows": O_DOC_CHUNK_WINDOWS,
-    "text_ngram_topk": O_TEXT_NGRAM_TOPK,
-    "text_perplexity": O_TEXT_PERPLEXITY,
-    "dedup_spans": O_DEDUP_SPANS,
-    "doc_domain_cap": _o_doc_domain_cap(),
-    "kg_entity_pmi": O_KG_ENTITY_PMI,
+    "media_audio_stats": O_MEDIA_AUDIO_STATS,
+    "media_frame_stats": O_MEDIA_FRAME_STATS,
+    "media_features": O_MEDIA_FEATURES,
+    "ann_lsh_topk": _o_ann_lsh_topk(),
+    "ann_ivf_topk": O_ANN_IVF,
+    "ann_ivf_trained": _o_ann_ivf_trained(),
+    "text_token_count": O_TEXT_TOKEN_COUNT,
+    "text_language_id": O_TEXT_LANGUAGE_ID,
+    "text_fingerprint": O_TEXT_FINGERPRINT,
 }
 
 # Union view for consumers that time/run queries regardless of which evidence

@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..checkpointing import shared
@@ -47,11 +47,17 @@ def word_shingles(col, n: int):
     del col  # shingles always read the `text` column (SQL-parity formula below)
     words = "split(trim(regexp_replace(lower(coalesce(text, '')), '\\\\W+', ' ')), ' ')"
     # NB: Spark's sequence(1, 0) is DESCENDING (not empty) — guard short texts.
+    # The split is bound to a lambda variable `w` via a 1-element-array
+    # transform so it evaluates ONCE per row: textually inlining it in the
+    # gram lambda re-runs the regexp+split per shingle ELEMENT (~n_words
+    # evaluations per doc — the digest-pass hazard minhash_signatures already
+    # documents, measured ~30x on the 2 M-doc corpus for the same shape).
     grams = F.expr(
-        f"case when size({words}) >= {n} then "
-        f"transform(sequence(1, size({words}) - {n - 1}), "
-        f"i -> array_join(slice({words}, i, {n}), ' ')) "
-        f"else array() end"
+        f"flatten(transform(array({words}), w -> "
+        f"case when size(w) >= {n} then "
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> array_join(slice(w, i, {n}), ' ')) "
+        f"else array() end))"
     )
     return F.array_sort(F.array_distinct(grams))
 
@@ -356,42 +362,60 @@ def duplicated_spans(docs: DataFrame, n: int = 8) -> DataFrame:
     max(n_words - n + 1, 0); dup_fraction = n_dup_grams / n_grams rounded to
     6 decimals, -1.0 sentinel for docs too short for a single n-gram.
 
-    Scale shape: grams travel as md5 hashes only (never the text). One
-    explode to (doc, gram_hash) occurrences, partial-agg to (doc, gram, k) —
-    map-side combine collapses within-doc repeats before the shuffle — then
-    gram-grain doc_freq where only grams seen in >1 doc survive (a thin
-    fraction of a real corpus), left-semi joined back and re-aggregated at
-    doc grain. Two keyed shuffles on 16-byte keys plus map-only passes;
-    nothing is quadratic and no gram list is ever collected.
+    Scale shape: grams travel as xxhash64 longs only (never the text; the
+    oracle groups by md5 of the same gram string — the result depends only on
+    gram EQUALITY, so any practically-injective key matches it, and 8-byte
+    JVM-native longs shuffle/sort ~5x lighter than 32-char md5 hex strings).
+    One explode to (doc, gram_hash) occurrences, then a single gram-keyed
+    window — min(doc_id) != max(doc_id) over the gram partition flags every
+    occurrence whose gram appears in >1 document, exactly the oracle's
+    doc-frequency > 1 — and one doc-grain re-aggregation where n_grams falls
+    out as count(*) of the same stream (= max(n_words - n + 1, 0)). Two keyed
+    shuffles on 8-byte keys, no self-join, no recomputed subtree; nothing is
+    quadratic and no gram list is ever collected. (A prior draft aggregated
+    (doc, gram, k) → gram-grain doc_freq → left-semi join back: that plan
+    computes the 90 M-row explode+agg subtree TWICE and sort-merges it on
+    string keys — measured 670 s on the 2 M-doc corpus vs 71 s for this
+    shape, bench_artifacts/new_ops_scale_r5.json.)
     """
+    # toks is projected ONCE per row before the gram lambda touches it
+    # (CollapseProject keeps the boundary: toks is non-cheap and referenced
+    # more than once); textually inlining the split in the gram lambda would
+    # re-run the regexp+split per gram ELEMENT.
     words = "split(trim(regexp_replace(lower(coalesce(text, '')), '\\\\W+', ' ')), ' ')"
-    grams = F.expr(
-        f"case when size({words}) >= {n} then "
-        f"transform(sequence(1, size({words}) - {n - 1}), "
-        f"i -> md5(array_join(slice({words}, i, {n}), ' '))) "
-        "else array() end"
-    )
-    occ = docs.select("doc_id", F.explode(grams).alias("gram"))
-    per_doc = occ.groupBy("doc_id", "gram").agg(F.count("*").alias("k"))
-    dup_grams = per_doc.groupBy("gram").agg(F.count("*").alias("df")).filter(
-        F.col("df") > 1
-    )
-    dup = (
-        per_doc.join(dup_grams.select("gram"), "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.sum("k").alias("n_dup"))
-    )
-    base = docs.select(
+    grams = docs.select("doc_id", F.expr(words).alias("toks")).select(
         "doc_id",
-        F.greatest(F.expr(f"size({words}) - {n - 1}"), F.lit(0)).alias("n_grams"),
+        F.expr(
+            f"case when size(toks) >= {n} then "
+            f"transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> xxhash64(array_join(slice(toks, i, {n}), ' '))) "
+            "else array() end"
+        ).alias("grams"),
     )
-    return base.join(dup, "doc_id", "left").select(
+    # explode_OUTER + a post-generate null filter, not plain explode: Spark's
+    # InferFiltersFromGenerate would otherwise plant a pre-Generate Filter
+    # whose condition textually inlines the ENTIRE gram expression against raw
+    # text — one redundant full evaluation per row (A/B: 84.7 s -> 70.9 s on
+    # the 2 M-doc corpus). The null filter on the 8-byte gram is ~free.
+    occ = grams.select("doc_id", F.explode_outer("grams").alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    w = Window.partitionBy("gram")
+    flagged = occ.select(
         "doc_id",
-        F.col("n_grams").cast("long").alias("n_grams"),
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).alias("is_dup"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_occ"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_occ", F.lit(0)).cast("long").alias("n_grams"),
         F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_grams"),
         F.when(
-            F.col("n_grams") > 0,
-            F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_grams"), 6),
+            F.coalesce("n_occ", F.lit(0)) > 0,
+            F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_occ"), 6),
         )
         .otherwise(F.lit(-1.0))
         .alias("dup_fraction"),

@@ -398,13 +398,21 @@ def test_perplexity_plan_shape(spark):
 
 
 def test_duplicated_spans_plan_shape(spark):
-    """Duplicated-span detection: gram hashes only, the dup-gram probe is a
-    left-semi join, and no Cartesian/python anywhere."""
+    """Duplicated-span detection: gram hashes travel as xxhash64 longs, the
+    cross-doc flag is ONE gram-keyed window (min!=max over the gram
+    partition) — no dup-gram semi join, no recomputed explode subtree — and
+    no Cartesian/python anywhere."""
+    import re
+
     from reden_spark.operators.dedup import duplicated_spans
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     p = plan(duplicated_spans(docs, n=8))
-    assert "LeftSemi" in p, p[:1500]
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p[:1500]
+    assert "xxhash64" in p, p[:1500]
+    assert "LeftSemi" not in p, p[:1500]
+    # exactly one Generate: the explode subtree is not computed twice
+    assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1, p[:1500]
     assert "CartesianProduct" not in p, p[:1500]
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:1500]
 
