@@ -377,6 +377,14 @@ def duplicated_spans(docs: DataFrame, n: int = 8) -> DataFrame:
     computes the 90 M-row explode+agg subtree TWICE and sort-merges it on
     string keys — measured 670 s on the 2 M-doc corpus vs 71 s for this
     shape, bench_artifacts/new_ops_scale_r5.json.)
+
+    Known residual hazard at extreme scale: windows have no map-side combine,
+    so a single gram duplicated across ~all documents (a license header, a
+    boilerplate footer) clusters its occurrences into ONE window task. If a
+    corpus profile shows such grams, pre-filter them with a cheap
+    sample-based df cap (they are dup-by-definition; their occurrences can be
+    counted map-only and added back) before the window — the same
+    probe-then-mitigate pattern minhash_lsh_pairs' auto-salt uses.
     """
     # toks is projected ONCE per row before the gram lambda touches it
     # (CollapseProject keeps the boundary: toks is non-cheap and referenced
