@@ -355,18 +355,36 @@ def ngram_topk(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     corpus and the number of distinct documents containing the n-gram —
     ordered by total_count desc, ties broken by ngram asc, limited to k.
 
-    Scale shape: explode → partial-agg at (ngram, doc_id) grain (map-side
-    combine collapses within-doc repeats before the shuffle) → agg at ngram
-    grain → global top-k. Two keyed shuffles on n-gram-sized data plus a
-    TakeOrdered (orderBy+limit never materializes a total sort). The k rows
-    that reach the driver are the result itself.
+    Scale shape: the n-gram space of a real corpus is huge and sparse (~one
+    group per occurrence), so aggregating string keys end-to-end degenerates
+    into spill-and-sort on ~corpus-sized string data — measured 490 s at 2 M
+    docs. Instead the heavy counting runs at xxhash64-long grain (8-byte
+    keys, practically injective — same argument as duplicated_spans):
+    explode → ONE agg at h grain (doc_freq needs no heavy-path grain at all;
+    it is recomputed exactly on the thin slice below, so the (h, doc_id)
+    pre-aggregate a first draft carried was pure waste) → the k-th
+    count enters the plan as a broadcast 1-row threshold (never a driver
+    round-trip) → hash-grain candidates = every h with total >= threshold
+    (ALL count-ties survive; the string tie-break is applied later on real
+    strings). Strings materialize only for candidates: a second map-only
+    explode pass probes a broadcast candidate-hash table, and the exact
+    (ngram, doc_id) → ngram recount runs on that thin slice, so the final
+    counts and the (total_count desc, ngram asc) top-k are computed on
+    strings exactly as before — 490 s → 106 s at 2 M docs
+    (bench_artifacts/new_ops_scale_r5.json). Only a 64-bit collision inside
+    the top-of-distribution could perturb boundary membership (~1e-4 at 1e8
+    distinct n-grams; values are exact regardless, since candidate counts
+    are string-grain recounts).
     """
     toks = tokens(_text())
-    per_doc = (
+    # explode_outer + null filter: plain explode lets
+    # InferFiltersFromGenerate re-inline the gram construction into a
+    # pre-Generate filter (see duplicated_spans).
+    occ = (
         docs.select("doc_id", toks.alias("toks"))
         .select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     f"case when size(toks) >= {n} then "
                     f"transform(sequence(1, size(toks) - {n - 1}), "
@@ -375,11 +393,26 @@ def ngram_topk(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
                 )
             ).alias("ngram"),
         )
+        .filter(F.col("ngram").isNotNull())
+        .select("doc_id", "ngram", F.xxhash64("ngram").alias("h"))
+    )
+    # heavy path: long keys only (column pruning drops `ngram` at the scan);
+    # map-side combine absorbs the Zipf head before the single shuffle
+    agg = occ.groupBy("h").agg(F.count("*").alias("total"))
+    th = agg.orderBy(F.col("total").desc()).limit(k).agg(F.min("total").alias("th"))
+    cand = (
+        agg.crossJoin(F.broadcast(th))
+        .filter(F.col("total") >= F.col("th"))
+        .select("h")
+    )
+    # thin path: strings + exact recount for candidates only
+    exact_pd = (
+        occ.join(F.broadcast(cand), "h")
         .groupBy("ngram", "doc_id")
         .agg(F.count("*").alias("c"))
     )
     return (
-        per_doc.groupBy("ngram")
+        exact_pd.groupBy("ngram")
         .agg(
             F.sum("c").cast("long").alias("total_count"),
             F.count("*").cast("long").alias("doc_freq"),

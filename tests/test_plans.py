@@ -367,11 +367,12 @@ def test_chunk_windows_is_map_only(spark):
     assert "Generate" in p  # the explode over chunk indices
 
 
-def test_ngram_topk_two_shuffles_and_takeordered(spark):
-    """ngram_topk's designed shape: partial agg at (ngram, doc) grain, final
-    agg at ngram grain (two keyed Exchanges on n-gram-sized data), and the
-    global top-k as TakeOrderedAndProject — never a total sort of the
-    aggregate table."""
+def test_ngram_topk_hash_grain_and_takeordered(spark):
+    """ngram_topk's designed shape: the heavy counting aggregates xxhash64
+    longs (never corpus-sized string keys), the k-th-count threshold and the
+    candidate-hash set reach the plan as broadcasts (no driver round-trip),
+    strings materialize only on the thin candidate recount, and the global
+    top-k is TakeOrderedAndProject — never a total sort."""
     import re
 
     from reden_spark.operators.textstats import ngram_topk
@@ -379,9 +380,14 @@ def test_ngram_topk_two_shuffles_and_takeordered(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     p = plan(ngram_topk(docs, n=2, k=20))
     assert "TakeOrderedAndProject" in p, p[:1500]
-    exchange_ids = {m.group(1) for m in re.finditer(r"\((\d+)\) Exchange", p)}
-    assert len(exchange_ids) == 2, f"expected 2 Exchanges, got {len(exchange_ids)}\n{p[:1500]}"
+    assert "xxhash64" in p, p[:1500]
+    # the heavy-grain exchange is keyed on the hash alone, not the ngram
+    # string and not (h, doc_id) — doc_freq is recomputed on the thin slice
+    assert re.search(r"hashpartitioning\(h#\d+L, \d+\)", p), p[:2000]
+    assert not re.search(r"hashpartitioning\(h#\d+L, doc_id", p), p[:2000]
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", p)) >= 2, p[:2000]
     assert "Sort" not in p, p[:1500]  # top-k must never be a total sort
+    assert "CartesianProduct" not in p, p[:1500]
 
 
 def test_perplexity_plan_shape(spark):
