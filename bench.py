@@ -273,6 +273,7 @@ PER_QUERY = [
     # duplicated-span probe; keys additive as above)
     "text_perplexity",
     "dedup_spans",
+    "text_ngram_topk",
 ]
 
 
