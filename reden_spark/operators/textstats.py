@@ -439,29 +439,53 @@ def perplexity(docs: DataFrame) -> DataFrame:
     build sides broadcast at typical vocab sizes; AQE decides otherwise) and
     V enters the plan as a broadcast 1-row frame, never a driver constant.
     No UDF anywhere; everything is codegen explode/agg/join.
+
+    The bigram and prefix keys travel as xxhash64 longs, never as string
+    pairs: they are pure EQUALITY keys (the output exposes only counts and
+    the nll double, both derived from group sizes), so the practically-
+    injective-hash argument of duplicated_spans/ngram_topk applies, and a
+    sparse corpus — where the distinct-bigram space is ~one group per
+    occurrence — would otherwise drag ~corpus-sized string pairs through
+    two aggregations and two joins: measured 469.7 s -> 136.4 s at 2 M docs
+    (bench_artifacts/new_ops_scale_r5.json; the first artifact entry for
+    this operator recorded 1.7 s from a bare count(), which Catalyst
+    collapses to a scan — value-forced timings only).
     """
     toks = F.filter(tokens(_text()), lambda t: t != "")
     base = docs.select("doc_id", toks.alias("toks"))
-    bigrams = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "case when size(toks) >= 2 then "
-                "transform(sequence(1, size(toks) - 1), "
-                "i -> struct(toks[i-1] as prev, toks[i] as cur)) "
-                "else array() end"
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
-    per_doc = bigrams.groupBy("doc_id", "prev", "cur").agg(F.count("*").alias("k"))
-    c_ab = per_doc.groupBy("prev", "cur").agg(F.sum("k").alias("c_ab"))
-    c_prev = c_ab.groupBy("prev").agg(F.sum("c_ab").alias("c_prev"))
-    vocab = base.select(F.explode("toks").alias("t")).agg(
-        F.countDistinct("t").alias("v")
+    # explode_outer + null filter: see duplicated_spans (plain explode lets
+    # InferFiltersFromGenerate re-inline the bigram construction as a
+    # pre-Generate filter over raw text).
+    bigrams = (
+        base.select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    "case when size(toks) >= 2 then "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(xxhash64(toks[i-1]) as h_prev, "
+                    "xxhash64(toks[i-1], toks[i]) as h_ab)) "
+                    "else array() end"
+                )
+            ).alias("bg"),
+        )
+        .filter(F.col("bg").isNotNull())
+        .select("doc_id", F.col("bg.h_prev").alias("h_prev"), F.col("bg.h_ab").alias("h_ab"))
+    )
+    per_doc = bigrams.groupBy("doc_id", "h_prev", "h_ab").agg(F.count("*").alias("k"))
+    c_ab = per_doc.groupBy("h_ab").agg(F.sum("k").alias("c_ab"))
+    c_prev = per_doc.groupBy("h_prev").agg(F.sum("k").alias("c_prev"))
+    # NULL filter BEFORE hashing: xxhash64(NULL) is a non-null seed constant
+    # (it does not propagate NULL the way countDistinct skips it), so an
+    # unfiltered explode_outer would inflate V by 1 whenever empty docs exist
+    vocab = (
+        base.select(F.explode_outer("toks").alias("t"))
+        .filter(F.col("t").isNotNull())
+        .agg(F.countDistinct(F.xxhash64("t")).alias("v"))
     )
     term = (
-        per_doc.join(c_ab, ["prev", "cur"])
-        .join(c_prev, "prev")
+        per_doc.join(c_ab, "h_ab")
+        .join(c_prev, "h_prev")
         .crossJoin(F.broadcast(vocab))
     )
     scored = term.groupBy("doc_id").agg(
