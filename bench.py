@@ -277,15 +277,27 @@ PER_QUERY = [
 ]
 
 
-def run_per_query(master_cpus: str, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+def run_per_query(
+    master_cpus: str, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, float]]:
     """Times each headline query; also brackets each with the 1-min loadavg so
-    a slow reading in the round artifact carries its own noise context."""
+    a slow reading in the round artifact carries its own noise context.
+
+    Two timings per query: `timings` keeps the historical count() protocol
+    (round-over-round comparable back to r1), and `timings_forced` evaluates
+    every output VALUE (xxhash64 over all columns, summed) — count() lets
+    Catalyst prune computed columns, so a map-only projection times as an
+    empty scan under the old protocol (the perplexity lesson, BENCH.md r5 §4).
+    """
+    from pyspark.sql import functions as F
+
     from reden_spark.driver_contract import ALL_QUERIES
     from reden_spark.session import get_spark
 
     spark = get_spark("reden-bench-q", master=f"local[{master_cpus}]")
     timings: dict[str, float] = {}
     loads: dict[str, list[float]] = {}
+    forced: dict[str, float] = {}
     try:
         for name in PER_QUERY:
             load_before = os.getloadavg()[0]
@@ -293,9 +305,19 @@ def run_per_query(master_cpus: str, sf_dir: str) -> tuple[dict[str, float], dict
             ALL_QUERIES[name](spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
             loads[name] = [round(load_before, 2), round(os.getloadavg()[0], 2)]
+        for name in PER_QUERY:
+            df = ALL_QUERIES[name](spark, sf_dir)
+            t0 = time.time()
+            try:
+                df.agg(
+                    F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
+                ).collect()
+            except Exception:
+                df.count()  # a column type hash doesn't support; count instead
+            forced[name] = round(time.time() - t0, 3)
     finally:
         spark.stop()
-    return timings, loads
+    return timings, loads, forced
 
 
 def run_kernel(master_cpus: str, data_dir: Path) -> dict:
@@ -578,7 +600,9 @@ def main() -> None:
 
     data_dir = ensure_bench_data()
     head = run_headline(cpus, data_dir, repeats=3)
-    queries, query_loads = ({}, {}) if a.skip_queries else run_per_query(cpus, sf_dir)
+    queries, query_loads, queries_forced = (
+        ({}, {}, {}) if a.skip_queries else run_per_query(cpus, sf_dir)
+    )
 
     result = {
         "metric": "kg_pipeline_wall_clock",
@@ -595,6 +619,10 @@ def main() -> None:
         # the artifact adjudicates its own noise (VERDICT r4 task #2)
         "headline_loadavg_1m": head.get("loadavg_1m_per_sample"),
         "query_loadavg_1m": query_loads,
+        # additive (r5): value-forced twins of `queries` — xxhash64 over every
+        # output column, so Catalyst cannot prune the computed work the way a
+        # bare count() can on map-only projections
+        "queries_forced": queries_forced,
         "cpus": int(cpus),
     }
 
