@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import shared
+
 # tiny per-language stopword gazetteers (n-gram-heuristic stand-in; the container
 # has no langid lib — deterministic and engine-portable by design)
 STOPWORDS = {
@@ -397,8 +399,13 @@ def ngram_topk(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .select("doc_id", "ngram", F.xxhash64("ngram").alias("h"))
     )
     # heavy path: long keys only (column pruning drops `ngram` at the scan);
-    # map-side combine absorbs the Zipf head before the single shuffle
-    agg = occ.groupBy("h").agg(F.count("*").alias("total"))
+    # map-side combine absorbs the Zipf head before the single shuffle.
+    # shared(): the threshold subquery and the candidate filter both consume
+    # this hash-grain count table, and exchange reuse does NOT cross the
+    # broadcast-subquery boundary (measured plan: the corpus explode+agg ran
+    # twice) — the checkpoint materializes it once, a thin 16-byte-per-
+    # distinct-ngram frame.
+    agg = shared(occ.groupBy("h").agg(F.count("*").alias("total")))
     th = agg.orderBy(F.col("total").desc()).limit(k).agg(F.min("total").alias("th"))
     cand = (
         agg.crossJoin(F.broadcast(th))
@@ -446,10 +453,12 @@ def perplexity(docs: DataFrame) -> DataFrame:
     injective-hash argument of duplicated_spans/ngram_topk applies, and a
     sparse corpus — where the distinct-bigram space is ~one group per
     occurrence — would otherwise drag ~corpus-sized string pairs through
-    two aggregations and two joins: measured 469.7 s -> 136.4 s at 2 M docs
-    (bench_artifacts/new_ops_scale_r5.json; the first artifact entry for
-    this operator recorded 1.7 s from a bare count(), which Catalyst
-    collapses to a scan — value-forced timings only).
+    two aggregations and two joins: measured 469.7 s -> 259.8 s at 2 M docs
+    from the key change alone, and -> 65.4 s once shared() materializes
+    per_doc for its three consumers on the production /dev/shm-scratch
+    session (bench_artifacts/new_ops_scale_r5.json `shared_checkpoint_round`;
+    the first artifact entry for this operator recorded 1.7 s from a bare
+    count(), which Catalyst collapses to a scan — value-forced timings only).
     """
     toks = F.filter(tokens(_text()), lambda t: t != "")
     base = docs.select("doc_id", toks.alias("toks"))
@@ -472,7 +481,14 @@ def perplexity(docs: DataFrame) -> DataFrame:
         .filter(F.col("bg").isNotNull())
         .select("doc_id", F.col("bg.h_prev").alias("h_prev"), F.col("bg.h_ab").alias("h_ab"))
     )
-    per_doc = bigrams.groupBy("doc_id", "h_prev", "h_ab").agg(F.count("*").alias("k"))
+    # shared(): per_doc feeds THREE consumers (c_ab, c_prev, the term join's
+    # probe side) and exchange reuse does not span them — unmaterialized, the
+    # corpus-grain explode+agg executes three times (measured; see BENCH.md
+    # r5 §4). One checkpoint of the (doc, h_prev, h_ab, k) frame collapses
+    # that to a single pass.
+    per_doc = shared(
+        bigrams.groupBy("doc_id", "h_prev", "h_ab").agg(F.count("*").alias("k"))
+    )
     c_ab = per_doc.groupBy("h_ab").agg(F.sum("k").alias("c_ab"))
     c_prev = per_doc.groupBy("h_prev").agg(F.sum("k").alias("c_prev"))
     # NULL filter BEFORE hashing: xxhash64(NULL) is a non-null seed constant
